@@ -1,0 +1,60 @@
+"""Main-content extraction as pure JVM column expressions.
+
+Mirrors rules.clean_text exactly (the per-turn equality invariant).
+Implemented with higher-order array functions — whole-stage-codegen'd,
+zero Python in the hot path.  A pandas-UDF variant is provided for
+comparison/benchmarking only.
+
+Note on regex dialects: all patterns in rules.py are written in the
+Java/Python common subset; `\\s` differs on non-ASCII whitespace, which
+the transcript payload domain (ASCII whitespace only) does not hit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import rules
+
+
+def strip_ws(col: Column) -> Column:
+    """Python str.strip() analog (ASCII whitespace both ends)."""
+    return F.regexp_replace(F.regexp_replace(col, r"^\s+", ""), r"\s+$", "")
+
+
+def clean_text_expr(text: Column) -> Column:
+    lines = F.split(text, "\n")
+    kept = F.filter(lines, lambda l: ~l.rlike(rules.BOILERPLATE_COMBINED))
+    trimmed = F.transform(kept, lambda l: F.regexp_replace(l, r"\s+$", ""))
+    joined = F.array_join(trimmed, "\n")
+    collapsed = F.regexp_replace(joined, r"\n{3,}", "\n\n")
+    stripped = F.regexp_replace(
+        F.regexp_replace(collapsed, r"^\n+", ""), r"\n+$", ""
+    )
+    return (
+        F.when(text.isNull(), F.lit(rules.EMPTY_EXTRACTION_MARKER))
+        .when(~stripped.rlike(r"\S"), F.lit(rules.EMPTY_EXTRACTION_MARKER))
+        .otherwise(stripped)
+    )
+
+
+def clean_text_pandas_udf():
+    """Arrow-vectorized alternative (same semantics, used in benchmarks to
+    compare against the JVM expression path)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _clean(s: pd.Series) -> pd.Series:
+        return s.map(rules.clean_text)
+
+    return _clean
+
+
+def layout_hints_expr(text: Column) -> Column:
+    """struct<has_tables,has_handwriting> (ocr_service.py:473-488)."""
+    return F.struct(
+        (text.contains("|") | text.contains("      ")).alias("has_tables"),
+        text.contains("[UNCLEAR").alias("has_handwriting"),
+    )

@@ -1,0 +1,66 @@
+"""Confidence estimator as a single JVM column expression.
+
+Bit-identical to rules.score_confidence (ocr_service.py:304-364
+semantics): same float64 operation order, banker's rounding via
+F.bround (Spark HALF_EVEN == Python round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import rules
+
+
+def _count_substring(text: Column, needle: str) -> Column:
+    """Non-overlapping substring count, like Python str.count."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def confidence_expr(text: Column) -> Column:
+    length = F.length(text)
+    low = F.lower(text)
+
+    unclear = _count_substring(text, "[UNCLEAR")
+
+    hw = None
+    for ind in rules.HANDWRITING_CONF_INDICATORS:
+        term = low.contains(ind).cast("int")
+        hw = term if hw is None else (hw + term)
+
+    ambiguous = F.length(text) - F.length(F.translate(text, "lI1O0", ""))
+    total = F.length(F.translate(text, " \n", ""))
+
+    newlines = F.length(text) - F.length(F.replace(text, F.lit("\n"), F.lit("")))
+
+    # Python str.split() + isupper() analog: whitespace tokens of length
+    # 2-5 with >=1 uppercase letter and no lowercase letters.
+    abbrevs = F.size(
+        F.filter(
+            F.split(text, r"\s+"),
+            lambda w: (F.length(w) >= 2) & (F.length(w) <= 5)
+            & w.rlike(r"^[^a-z]*[A-Z][^a-z]*$"),
+        )
+    )
+
+    c = F.lit(0.70)
+    c = F.when(unclear > 0, c - F.least(F.lit(0.40), unclear * F.lit(0.15))).otherwise(c)
+    c = F.when(hw > 0, c - F.least(F.lit(0.15), hw * F.lit(0.05))).otherwise(c)
+    c = F.when(
+        (total > 0) & (ambiguous.cast("double") / total > F.lit(0.15)),
+        c - F.lit(0.08),
+    ).otherwise(c)
+    c = F.when(length < 50, c * F.lit(0.85)).otherwise(c)
+    c = F.when((length > 500) & (newlines > 10), c + F.lit(0.05)).otherwise(c)
+    c = F.when(
+        low.contains("blocked") | low.contains("safety filter"), F.lit(0.15)
+    ).otherwise(c)
+    c = F.when(abbrevs > 5, c - F.lit(0.05)).otherwise(c)
+
+    cap = F.when(text.contains("[UNCLEAR"), F.lit(0.75)).otherwise(F.lit(0.85))
+    conf = F.bround(F.least(cap, F.greatest(F.lit(0.15), c)), 2)
+    return F.when(text.isNull() | (length < 10), F.lit(0.0)).otherwise(conf)

@@ -1,0 +1,640 @@
+"""Shared deterministic rule spec — the single source of truth.
+
+Every constant and pure-Python function here defines the *semantics* that
+both (a) the pure-Python reference oracle (pytest golden producer) and
+(b) the Spark column-expression / pandas-UDF implementations must satisfy.
+The per-row invariant of the project is per-turn equality between the two.
+
+Rule provenance (reference repo, studied for behavior only — no code reuse):
+  - confidence estimator      -> src/services/ocr_service.py:304-364
+  - uncertain-token passes    -> src/services/ocr_service.py:366-420
+  - review flags / reasons    -> src/services/ocr_service.py:422-471
+  - layout hints              -> src/services/ocr_service.py:473-488
+  - visit boundary patterns   -> src/services/chunking_service.py:20-27
+  - date extraction           -> src/services/chunking_service.py:119-156
+  - section headers           -> src/services/chunking_service.py:29-42 and
+                                 ocr_service.py:592-598 (MEDICAL_SECTIONS)
+  - text normalization        -> src/services/deduplication_service.py:37-55
+  - fuzzy similarity          -> src/services/deduplication_service.py:57-74
+  - greedy dedup/merge        -> src/services/deduplication_service.py:101-480
+  - known variants            -> src/services/variant_preservation.py:31-37
+  - excerpt enrichment        -> src/services/structuring_service.py:324-383
+
+The boilerplate-stripping extractor (clean_text) is this project's own
+spec: the reference's OCR step is an LLM call, replaced here by a
+deterministic layout/boilerplate pass per BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+import re
+from difflib import SequenceMatcher
+
+# ---------------------------------------------------------------------------
+# 1. Extraction: boilerplate stripping (this project's own deterministic spec)
+# ---------------------------------------------------------------------------
+
+# One pattern per boilerplate family.  A line is dropped when ANY pattern
+# *searches* true (unanchored semantics except explicit ^/$).  Patterns are
+# written in the Java/Python common regex subset so one string serves both
+# re.search and Spark's rlike.
+BOILERPLATE_LINE_PATTERNS: list[str] = [
+    r"^\s*-{2,}\s*Page\s+\d+\s*-{2,}\s*$",          # --- Page 7 ---
+    r"^\s*={3,}\s*$",                                # ======= rules
+    r"^\s*PAGE\s+\d+\s*$",                           # bare PAGE banners
+    r"(?i)^\s*page\s+\d+\s+of\s+\d+\s*$",            # Page 3 of 12 footers
+    r"(?i)^\s*(home|login|sign in|about us|contact|help|search)(\s*\|\s*\S.*)?$",
+    r"(?i)^\s*(©|\(c\))\s*\d{4}.*$",            # (c) 2024 ... copyright
+    r"(?i)^\s*confidential(ity notice)?\b.*$",
+    r"(?i)^\s*this (document|fax|message|transmission) (is|contains|may contain)\b.*$",
+    r"(?i)^\s*do not (distribute|copy|forward)\b.*$",
+    r"^\s*(https?://|www\.)\S+\s*$",                 # bare URLs
+    r"(?i)^\s*printed (on|by)\b.*$",
+    r"(?i)^\s*electronically signed\b.*$",
+]
+
+def _scoped(p: str) -> str:
+    """Turn a leading (?i) global flag into a scoped (?i:...) group so the
+    alternatives can be OR-combined (Python 3.11+ and Java both accept)."""
+    if p.startswith("(?i)"):
+        return f"(?i:{p[4:]})"
+    return f"(?:{p})"
+
+
+BOILERPLATE_COMBINED = "|".join(_scoped(p) for p in BOILERPLATE_LINE_PATTERNS)
+_BOILER_RE = re.compile(BOILERPLATE_COMBINED)
+
+EMPTY_EXTRACTION_MARKER = "[UNCLEAR: no extractable content]"
+
+
+def clean_text(text: str) -> str:
+    """Deterministic main-content extraction for one turn payload.
+
+    Steps (mirrored exactly by the Spark column expression in
+    functions/cleaning.py):
+      1. split on '\\n'
+      2. drop boilerplate lines
+      3. strip trailing whitespace per line (keep leading indentation —
+         tables rely on it)
+      4. collapse runs of >=2 blank lines to a single blank line
+      5. strip leading/trailing newlines
+      6. empty result -> EMPTY_EXTRACTION_MARKER
+    """
+    if text is None:
+        return EMPTY_EXTRACTION_MARKER
+    kept = [
+        re.sub(r"\s+$", "", ln)
+        for ln in text.split("\n")
+        if not _BOILER_RE.search(ln)
+    ]
+    joined = "\n".join(kept)
+    joined = re.sub(r"\n{3,}", "\n\n", joined)
+    joined = re.sub(r"^\n+", "", joined)
+    joined = re.sub(r"\n+$", "", joined)
+    if not joined.strip():
+        return EMPTY_EXTRACTION_MARKER
+    return joined
+
+
+# ---------------------------------------------------------------------------
+# 2. Confidence estimator (ocr_service.py:304-364 semantics, float64-exact)
+# ---------------------------------------------------------------------------
+
+HANDWRITING_CONF_INDICATORS = [
+    "unclear", "illegible", "scribbled", "hard to read",
+    "(?)", "[?]", "~~~", "***",
+]
+
+
+def round2(x: float) -> float:
+    """Round to 2 decimals, HALF_EVEN on the shortest decimal repr.
+
+    This matches Spark's bround (BigDecimal.valueOf(double) == shortest
+    round-trip string) so the JVM expression and this oracle agree
+    bit-for-bit.  It deviates from CPython round() only on knife-edge
+    doubles whose shortest repr is an exact half (e.g. 0.7*0.85 ->
+    repr '0.595' -> 0.60 here, 0.59 under CPython round which uses the
+    exact binary value 0.59499...).  Text extraction — the project's
+    per-row invariant — is unaffected.
+    """
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_EVEN))
+
+
+def score_confidence(text: str) -> float:
+    """Confidence heuristic; must stay bit-identical to the Spark expr.
+
+    Sequential float64 updates in this exact order; final round is
+    banker's (Python round == Spark bround).
+    """
+    if not text or len(text) < 10:
+        return 0.0
+
+    c = 0.70
+
+    unclear_count = text.count("[UNCLEAR")
+    if unclear_count > 0:
+        c -= min(0.40, unclear_count * 0.15)
+
+    low = text.lower()
+    hw = sum(1 for ind in HANDWRITING_CONF_INDICATORS if ind in low)
+    if hw > 0:
+        c -= min(0.15, hw * 0.05)
+
+    ambiguous = sum(text.count(ch) for ch in "lI1O0")
+    total = len(text.replace(" ", "").replace("\n", ""))
+    if total > 0 and ambiguous / total > 0.15:
+        c -= 0.08
+
+    if len(text) < 50:
+        c *= 0.85
+
+    if len(text) > 500 and text.count("\n") > 10:
+        c += 0.05
+
+    if "blocked" in low or "safety filter" in low:
+        c = 0.15
+
+    abbrevs = sum(1 for w in text.split() if w.isupper() and 2 <= len(w) <= 5)
+    if abbrevs > 5:
+        c -= 0.05
+
+    cap = 0.85 if "[UNCLEAR" not in text else 0.75
+    return round2(min(cap, max(0.15, c)))
+
+
+# ---------------------------------------------------------------------------
+# 3. Uncertain tokens (ocr_service.py:366-420)
+# ---------------------------------------------------------------------------
+
+AMBIGUOUS_ABBREVIATIONS: list[tuple[str, str]] = [
+    ("MS", "Multiple Sclerosis OR Mitral Stenosis OR Morphine Sulfate"),
+    ("PC", "Post-Cibum (after meals) OR Presenting Complaint"),
+    ("RA", "Rheumatoid Arthritis OR Right Atrium"),
+    ("AS", "Aortic Stenosis OR Ankylosing Spondylitis"),
+    ("BS", "Bowel Sounds OR Blood Sugar OR Breath Sounds"),
+]
+
+HANDWRITING_TOKEN_INDICATORS = ["(?)", "[?]", "~~~", "possibly", "unclear", "illegible"]
+
+MAX_UNCERTAIN_TOKENS = 20
+
+
+def extract_uncertain_tokens(text: str) -> list[dict]:
+    """Three ordered passes over lines, capped at 20 entries total."""
+    out: list[dict] = []
+    lines = text.split("\n")
+
+    for n, line in enumerate(lines, start=1):
+        if "[UNCLEAR" in line:
+            f = line.find("[UNCLEAR")
+            close = line.find("]", f)
+            start = max(0, f - 20)
+            end = min(len(line), close + 21)
+            out.append({
+                "line_number": n,
+                "token": line[f:close + 1],
+                "context": line[start:end].strip(),
+                "reason": "illegible_handwriting",
+            })
+
+    for n, line in enumerate(lines, start=1):
+        padded = f" {line} "
+        for abbrev, meanings in AMBIGUOUS_ABBREVIATIONS:
+            if f" {abbrev} " in padded:
+                out.append({
+                    "line_number": n,
+                    "token": abbrev,
+                    "context": line.strip()[:60],
+                    "reason": f"ambiguous_abbreviation: {meanings}",
+                })
+
+    for n, line in enumerate(lines, start=1):
+        low = line.lower()
+        for ind in HANDWRITING_TOKEN_INDICATORS:
+            if ind in low:
+                out.append({
+                    "line_number": n,
+                    "token": ind,
+                    "context": line.strip()[:60],
+                    "reason": "handwriting_uncertainty",
+                })
+
+    return out[:MAX_UNCERTAIN_TOKENS]
+
+
+# ---------------------------------------------------------------------------
+# 4. Review flags + reasons (ocr_service.py:422-471)
+# ---------------------------------------------------------------------------
+
+def needs_review(confidence: float, tokens: list[dict]) -> bool:
+    if confidence < 0.60:
+        return True
+    if len(tokens) > 5:
+        return True
+    if sum(1 for t in tokens if "illegible" in t["reason"]) > 2:
+        return True
+    return False
+
+
+def review_reasons(confidence: float, tokens: list[dict], text: str) -> list[str]:
+    reasons: list[str] = []
+    if confidence < 0.60:
+        reasons.append(f"Low OCR confidence: {confidence:.1%} (threshold: 60%)")
+    if confidence < 0.75 and len(text) > 100:
+        reasons.append(f"Moderate confidence on substantial content: {confidence:.1%}")
+    unclear_count = text.count("[UNCLEAR")
+    if unclear_count > 0:
+        reasons.append(f"{unclear_count} illegible section(s) marked as [UNCLEAR]")
+    hw = sum(1 for t in tokens if "handwriting" in t["reason"])
+    if hw > 3:
+        reasons.append(f"{hw} sections with handwriting uncertainty")
+    amb = sum(1 for t in tokens if "ambiguous" in t["reason"])
+    if amb > 2:
+        reasons.append(f"{amb} ambiguous medical abbreviations detected")
+    if len(text) < 100:
+        reasons.append(
+            f"Very short extraction ({len(text)} characters) - may indicate scan quality issues"
+        )
+    return reasons
+
+
+# ---------------------------------------------------------------------------
+# 5. Layout hints (ocr_service.py:473-488)
+# ---------------------------------------------------------------------------
+
+def layout_hints(text: str) -> dict:
+    return {
+        "has_tables": ("|" in text) or ("      " in text),  # pipe or 6 spaces
+        "has_handwriting": "[UNCLEAR" in text,
+    }
+
+
+# ---------------------------------------------------------------------------
+# 6. Visit boundaries + sessionization (chunking_service.py:20-27,44-103)
+# ---------------------------------------------------------------------------
+
+VISIT_BOUNDARY_PATTERN = (
+    r"(?im)^(visit date:|date of service:|encounter date:"
+    r"|admission date:|discharge date:|\d{1,2}/\d{1,2}/\d{2,4})"
+)
+_BOUNDARY_RE = re.compile(VISIT_BOUNDARY_PATTERN)
+
+
+def is_visit_boundary(text: str) -> bool:
+    return bool(_BOUNDARY_RE.search(text))
+
+
+# ---------------------------------------------------------------------------
+# 7. Date extraction (chunking_service.py:119-156)
+# ---------------------------------------------------------------------------
+
+DATE_PATTERNS = [
+    r"(\d{1,2})[/-](\d{1,2})[/-](\d{4})",   # MM/DD/YYYY
+    r"(\d{4})[/-](\d{1,2})[/-](\d{1,2})",   # YYYY-MM-DD
+    r"(\d{1,2})[/-](\d{1,2})[/-](\d{2})",   # MM/DD/YY, century pivot at 50
+]
+
+
+def extract_date(text: str) -> str | None:
+    """First pattern whose first match parses wins -> 'YYYY-MM-DD' or None."""
+    from datetime import datetime
+
+    for i, pat in enumerate(DATE_PATTERNS):
+        m = re.search(pat, text)
+        if not m:
+            continue
+        g = m.groups()
+        if i == 0:
+            month, day, year = g
+        elif i == 1:
+            year, month, day = g
+        else:
+            month, day, yy = g
+            year = f"20{yy}" if int(yy) < 50 else f"19{yy}"
+        try:
+            d = datetime.strptime(f"{year}-{month}-{day}", "%Y-%m-%d")
+        except ValueError:
+            continue
+        return d.strftime("%Y-%m-%d")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# 8. Section segmentation (chunking_service.py:29-42 + ocr_service MEDICAL_SECTIONS)
+# ---------------------------------------------------------------------------
+
+# Canonical section names from the reference's 16-entry uppercase dictionary
+MEDICAL_SECTIONS = [
+    "EVALUATION", "HISTORY", "PLAN", "IMPRESSION",
+    "ASSESSMENT", "SUBJECTIVE", "OBJECTIVE",
+    "PAST MEDICAL HISTORY", "MEDICATIONS", "ALLERGIES",
+    "VITAL SIGNS", "PHYSICAL EXAMINATION", "REVIEW OF SYSTEMS",
+    "LABORATORY", "IMAGING", "PROCEDURE",
+]
+
+# Extra headers from the chunking service's regex list, mapped to a
+# canonical name (this project's unification; longest-prefix tried first).
+EXTRA_SECTION_HEADERS = [
+    ("CHIEF COMPLAINT", "CHIEF COMPLAINT"),
+    ("REASON FOR VISIT", "REASON FOR VISIT"),
+    ("HISTORY OF PRESENT ILLNESS", "HISTORY OF PRESENT ILLNESS"),
+    ("HPI", "HISTORY OF PRESENT ILLNESS"),
+    ("PMH", "PAST MEDICAL HISTORY"),
+    ("PHYSICAL EXAM", "PHYSICAL EXAMINATION"),
+]
+
+
+def _section_rules() -> list[tuple[str, str]]:
+    """(canonical_name, line-anchored regex) pairs, order = match priority."""
+    rules: list[tuple[str, str]] = []
+    for name in MEDICAL_SECTIONS:
+        nospace = name.replace(" ", "")
+        pat = (
+            r"(?i)^\s*(?:" + re.escape(name) + r"\s*:?|"
+            + re.escape(nospace) + r"\s*:)\s*$"
+        )
+        rules.append((name, pat))
+    for raw, canonical in EXTRA_SECTION_HEADERS:
+        pat = r"(?i)^\s*" + re.escape(raw) + r"\s*:"
+        rules.append((canonical, pat))
+    return rules
+
+
+SECTION_RULES = _section_rules()
+_SECTION_RES = [(name, re.compile(pat)) for name, pat in SECTION_RULES]
+
+
+def match_section_header(line: str) -> str | None:
+    """First matching rule wins (priority = dictionary order)."""
+    for name, rx in _SECTION_RES:
+        if rx.search(line):
+            return name
+    return None
+
+
+def extract_sections(text: str) -> list[dict]:
+    """Header line opens a span; span ends before the next header / at EOF.
+
+    Returns [{section, start_line, end_line, text}] (1-based inclusive
+    line numbers; text = the span's lines joined with '\\n', header
+    included).
+    """
+    lines = text.split("\n")
+    headers: list[tuple[int, str]] = []
+    for idx, line in enumerate(lines):
+        name = match_section_header(line)
+        if name is not None:
+            headers.append((idx, name))
+    spans = []
+    for j, (idx, name) in enumerate(headers):
+        end = (headers[j + 1][0] - 1) if j + 1 < len(headers) else len(lines) - 1
+        spans.append({
+            "section": name,
+            "start_line": idx + 1,
+            "end_line": end + 1,
+            "text": "\n".join(lines[idx:end + 1]),
+        })
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# 9. Normalization + fuzzy similarity (deduplication_service.py:37-74)
+# ---------------------------------------------------------------------------
+
+FUZZY_THRESHOLD = 0.85
+
+
+def normalize_term(text: str | None) -> str:
+    if not text:
+        return ""
+    return re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def similarity(a: str, b: str) -> float:
+    na, nb = normalize_term(a), normalize_term(b)
+    if not na or not nb:
+        return 0.0
+    return SequenceMatcher(None, na, nb).ratio()
+
+
+# ---------------------------------------------------------------------------
+# 10. Greedy dedup / merge (deduplication_service.py:101-480)
+# ---------------------------------------------------------------------------
+
+MED_MERGE_FIELDS = ["dose", "frequency", "route", "start_date", "end_date"]
+PROBLEM_MERGE_FIELDS = ["icd10_code", "status", "onset_date"]
+RESULT_MERGE_FIELDS = ["unit", "reference_range", "abnormal_flag", "test_date"]
+
+
+def merge_medications(meds: list[dict], threshold: float = FUZZY_THRESHOLD
+                      ) -> tuple[list[dict], list[dict]]:
+    """Greedy first-wins dedup on normalized name; returns (merged, log)."""
+    merged: list[dict] = []
+    log: list[dict] = []
+    done: set[int] = set()
+    for i, m1 in enumerate(meds):
+        if i in done:
+            continue
+        base = dict(m1)
+        pages = {m1.get("source_page")}
+        group = {i}
+        for j in range(i + 1, len(meds)):
+            if j in done:
+                continue
+            m2 = meds[j]
+            n1, n2 = m1.get("name", ""), m2.get("name", "")
+            if normalize_term(n1) == normalize_term(n2):
+                base = _complete_fields(base, m2, MED_MERGE_FIELDS, conflicts=True)
+                pages.add(m2.get("source_page"))
+                group.add(j)
+                log.append({
+                    "type": "medication", "action": "merged",
+                    "reason": "exact_name_match", "item1": n1, "item2": n2,
+                    "similarity": None, "threshold": threshold,
+                    "source_pages": [m1.get("source_page"), m2.get("source_page")],
+                })
+            else:
+                sim = similarity(n1, n2)
+                if sim >= threshold:
+                    base = _complete_fields(base, m2, MED_MERGE_FIELDS, conflicts=True)
+                    alts = base.setdefault("alternative_representations", [])
+                    if n2 not in alts:
+                        alts.append(n2)
+                    pages.add(m2.get("source_page"))
+                    group.add(j)
+                    log.append({
+                        "type": "medication", "action": "merged",
+                        "reason": "fuzzy_match", "item1": n1, "item2": n2,
+                        "similarity": round(sim, 2), "threshold": threshold,
+                        "source_pages": [m1.get("source_page"), m2.get("source_page")],
+                    })
+        base["source_pages"] = sorted(p for p in pages if p is not None)
+        if len(pages) > 1:
+            base["merge_confidence"] = 0.95
+        merged.append(base)
+        done.update(group)
+    return merged, log
+
+
+def merge_problems(problems: list[dict], threshold: float = FUZZY_THRESHOLD
+                   ) -> tuple[list[dict], list[dict]]:
+    """Greedy dedup on problem text; fuzzy keeps the LONGER representation."""
+    merged: list[dict] = []
+    log: list[dict] = []
+    done: set[int] = set()
+    for i, p1 in enumerate(problems):
+        if i in done:
+            continue
+        base = dict(p1)
+        pages = {p1.get("source_page")}
+        group = {i}
+        for j in range(i + 1, len(problems)):
+            if j in done:
+                continue
+            p2 = problems[j]
+            t1, t2 = p1.get("problem", ""), p2.get("problem", "")
+            if normalize_term(t1) == normalize_term(t2):
+                base = _complete_fields(base, p2, PROBLEM_MERGE_FIELDS, conflicts=False)
+                pages.add(p2.get("source_page"))
+                group.add(j)
+                log.append({
+                    "type": "problem", "action": "merged",
+                    "reason": "exact_text_match", "item1": t1, "item2": t2,
+                    "similarity": None, "threshold": threshold,
+                    "source_pages": [p1.get("source_page"), p2.get("source_page")],
+                })
+            else:
+                sim = similarity(t1, t2)
+                if sim >= threshold:
+                    alts = base.setdefault("alternative_representations", [])
+                    if len(t2) > len(t1):
+                        if base["problem"] != t2:
+                            base["problem"] = t2
+                        if t1 not in alts:
+                            alts.append(t1)
+                    else:
+                        if t2 not in alts:
+                            alts.append(t2)
+                    base = _complete_fields(base, p2, PROBLEM_MERGE_FIELDS, conflicts=False)
+                    pages.add(p2.get("source_page"))
+                    group.add(j)
+                    log.append({
+                        "type": "problem", "action": "merged",
+                        "reason": "fuzzy_match", "item1": t1, "item2": t2,
+                        "similarity": round(sim, 2), "threshold": threshold,
+                        "source_pages": [p1.get("source_page"), p2.get("source_page")],
+                    })
+        base["source_pages"] = sorted(p for p in pages if p is not None)
+        merged.append(base)
+        done.update(group)
+    return merged, log
+
+
+def merge_lab_results(results: list[dict], threshold: float = FUZZY_THRESHOLD
+                      ) -> tuple[list[dict], list[dict]]:
+    """Same test name (exact or fuzzy): equal values merge, unequal values
+    become value_conflicts entries."""
+    merged: list[dict] = []
+    log: list[dict] = []
+    done: set[int] = set()
+    for i, r1 in enumerate(results):
+        if i in done:
+            continue
+        base = dict(r1)
+        pages = {r1.get("source_page")}
+        group = {i}
+        conflicts: list[dict] = list(base.get("value_conflicts") or [])
+        for j in range(i + 1, len(results)):
+            if j in done:
+                continue
+            r2 = results[j]
+            t1, t2 = r1.get("test_name", ""), r2.get("test_name", "")
+            same = normalize_term(t1) == normalize_term(t2)
+            if not same:
+                same = similarity(t1, t2) >= threshold
+            if not same:
+                continue
+            v1, v2 = str(r1.get("value", "")), str(r2.get("value", ""))
+            if normalize_term(v1) == normalize_term(v2):
+                base = _complete_fields(base, r2, RESULT_MERGE_FIELDS, conflicts=False)
+                log.append({
+                    "type": "result", "action": "merged",
+                    "reason": "same_test_same_value", "item1": t1, "item2": t2,
+                    "similarity": None, "threshold": threshold,
+                    "source_pages": [r1.get("source_page"), r2.get("source_page")],
+                })
+            else:
+                conflicts.append({
+                    "value": v2,
+                    "unit": r2.get("unit"),
+                    "source_page": r2.get("source_page"),
+                })
+                log.append({
+                    "type": "result", "action": "conflict",
+                    "reason": "same_test_value_conflict", "item1": v1, "item2": v2,
+                    "similarity": None, "threshold": threshold,
+                    "source_pages": [r1.get("source_page"), r2.get("source_page")],
+                })
+            pages.add(r2.get("source_page"))
+            group.add(j)
+        if conflicts:
+            base["value_conflicts"] = conflicts
+        base["source_pages"] = sorted(p for p in pages if p is not None)
+        if len(pages) > 1:
+            base["merge_confidence"] = 0.95
+        merged.append(base)
+        done.update(group)
+    return merged, log
+
+
+def _complete_fields(base: dict, other: dict, fields: list[str],
+                     conflicts: bool) -> dict:
+    out = dict(base)
+    for k in fields:
+        bv, ov = out.get(k), other.get(k)
+        if not bv and ov:
+            out[k] = ov
+        elif conflicts and bv and ov and bv != ov:
+            vc = out.setdefault("value_conflicts", {})
+            if k not in vc:
+                vc[k] = [bv, ov]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 11. Known variants (variant_preservation.py:31-37) + unclear marking
+# ---------------------------------------------------------------------------
+
+KNOWN_VARIANTS = {
+    "polydypsia": ["polydipsia"],
+    "hypoglycemia": ["hypoglycaemia"],
+    "oesophagus": ["esophagus"],
+    "haemoglobin": ["hemoglobin"],
+}
+
+
+def mark_unclear(best_guess: str | None, confidence: float) -> str:
+    if confidence < 0.3 or not best_guess:
+        return "[ILLEGIBLE]"
+    return f"[UNCLEAR: {best_guess}]"
+
+
+# ---------------------------------------------------------------------------
+# 12. Excerpt enrichment (structuring_service.py:324-383)
+# ---------------------------------------------------------------------------
+
+def find_excerpt(lines: list[str], needle: str) -> dict:
+    """First line containing needle (case-insensitive) -> line no + 60-char
+    excerpt starting 10 chars before the hit."""
+    if not needle or needle in ("N/A", "null"):
+        return {}
+    nl = needle.lower()
+    for n, line in enumerate(lines, start=1):
+        pos = line.lower().find(nl)
+        if pos >= 0:
+            start = max(0, pos - 10)
+            end = min(len(line), start + 60)
+            return {"source_line": n, "source_excerpt": line[start:end].strip()[:60]}
+    return {}
