@@ -1,0 +1,85 @@
+"""Document- and corpus-level aggregations (SURVEY §2.6 A1-A5, A13, S7).
+
+All plain groupBy aggregates — map-side partial aggregation, one shuffle
+keyed by conv_id (fine-grained; no hot key because per-conv state is a
+handful of counters, not a row list — except the optional combined-text
+sink, which is gated the same way as visit raw_text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def document_rollup(turns_with_visits: DataFrame,
+                    include_combined_text: bool = True) -> DataFrame:
+    """Per-conversation metadata analog of MedicalDocument processing
+    fields (structuring_service.py:289-311, main.py:218-239):
+    page_count, avg OCR confidence (2-dec), visit count, review stats,
+    unclear-marker count, total characters, optional combined text with
+    PAGE banners (structuring_service.py:294-302)."""
+    banner = "=" * 80
+    frag = F.format_string(
+        "\n%s\nPAGE %d\n%s\n\n%s\n\n",
+        F.lit(banner), F.col("turn_idx"), F.lit(banner), F.col("text_clean"),
+    )
+    aggs = [
+        F.count("*").alias("page_count"),
+        F.bround(F.avg("confidence"), 2).alias("ocr_confidence_avg"),
+        F.sum(F.when(F.col("confidence") > 0, 1).otherwise(0)).alias("successful_pages"),
+        F.countDistinct("visit_id").alias("visit_count"),
+        F.sum(F.col("manual_review_required").cast("int")).alias("pages_needing_review"),
+        F.array_distinct(
+            F.flatten(F.collect_list("review_reasons"))
+        ).alias("all_review_reasons"),
+        F.sum(
+            (
+                (F.length("text_clean")
+                 - F.length(F.replace(F.col("text_clean"), F.lit("[UNCLEAR"), F.lit(""))))
+                / 8
+            ).cast("int")
+        ).alias("unclear_marker_count"),
+        F.sum(F.length("text_clean")).alias("total_characters"),
+    ]
+    if include_combined_text:
+        aggs.append(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("turn_idx", frag.alias("frag")))
+                            ),
+                            lambda s: s["frag"],
+                        ),
+                        "",
+                    ),
+                    r"^\s+", "",
+                ),
+                r"\s+$", "",
+            ).alias("raw_ocr_text")
+        )
+    return turns_with_visits.groupBy("conv_id").agg(*aggs)
+
+
+def stage_metrics(turns_with_visits: DataFrame) -> DataFrame:
+    """Corpus-level per-stage metric rows (main.py:218-239 summary analog):
+    long-format (metric, value) for easy appending to a metrics table."""
+    agg = turns_with_visits.agg(
+        F.count("*").alias("turns_total"),
+        F.countDistinct("conv_id").alias("conversations_total"),
+        F.sum(F.col("manual_review_required").cast("int")).alias("turns_needing_review"),
+        F.bround(F.avg("confidence"), 4).alias("avg_confidence"),
+        F.sum(F.col("is_boundary").cast("int")).alias("boundary_turns"),
+        F.sum(F.size("uncertain_tokens")).alias("uncertain_tokens_total"),
+    )
+    cols = agg.columns
+    stacked = agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("metric"), F.col(c).cast("double").alias("value"))
+                for c in cols
+            ])
+        ).alias("kv")
+    )
+    return stacked.select("kv.metric", "kv.value")

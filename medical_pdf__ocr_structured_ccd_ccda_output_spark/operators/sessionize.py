@@ -1,0 +1,146 @@
+"""Sessionization: assign visit ids over stable turn ordering.
+
+Mirrors chunking_service.py:44-103: a turn opens a new visit when its
+(cleaned) text matches a boundary pattern, unless it is the first turn
+of the conversation.  visit_seq = 1 + running count of boundary turns
+after the first turn — a prefix sum over Window.partitionBy(conv_id)
+.orderBy(turn_idx, ts).
+
+Two implementations with identical output:
+
+* ``assign_visits`` — single window. One shuffle on conv_id. Right for
+  normally-sized conversations (every conversation fits one task).
+
+* ``assign_visits_skew_aware`` — two-level prefix sum for pathological
+  conversations (10^8+ turns would make a single window task the
+  straggler / OOM).  Turns are bucketed by ``turn_idx // bucket_size``;
+  per-bucket boundary counts are aggregated (map-side combine), bucket
+  prefix offsets are computed on the tiny per-bucket table, then joined
+  back and combined with an intra-bucket running sum.  The expensive
+  shuffles are keyed by (conv_id, bucket) — no single hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+TURN_ORDER = ["turn_idx", "ts"]
+
+
+def _boundary_int() -> F.Column:
+    return F.col("is_boundary").cast("int")
+
+
+def assign_visits(extracted: DataFrame) -> DataFrame:
+    """Single-window visit assignment (one shuffle on conv_id)."""
+    w_order = Window.partitionBy("conv_id").orderBy(*TURN_ORDER)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn = F.row_number().over(w_order)
+    df = extracted.withColumn("_rn", rn)
+    visit_seq = F.lit(1) + F.sum(
+        F.when(F.col("is_boundary") & (F.col("_rn") > 1), 1).otherwise(0)
+    ).over(w_run)
+    return (
+        df.withColumn("visit_seq", visit_seq.cast("int"))
+        .withColumn("visit_id", F.format_string("visit_%03d", F.col("visit_seq")))
+        .drop("_rn")
+    )
+
+
+def assign_visits_skew_aware(extracted: DataFrame,
+                             bucket_size: int = 100_000) -> DataFrame:
+    """Two-level (Hillis–Steele-style) prefix sum over bucketed turns.
+
+    Equivalent to assign_visits; safe for conversations far larger than
+    one executor's memory.  Assumes ordering by (turn_idx, ts) — the
+    bucket key derives from turn_idx, so ordering across buckets is by
+    turn_idx ranges.
+    """
+    df = extracted.withColumn(
+        "_bucket", (F.col("turn_idx").cast("long") / bucket_size).cast("long")
+    )
+
+    # Level 1: per-bucket boundary counts + the bucket's first turn (with
+    # its boundary flag riding along in the min-struct).  Map-side combine
+    # makes this cheap; the result is tiny (one row per bucket).
+    per_bucket = df.groupBy("conv_id", "_bucket").agg(
+        F.sum(_boundary_int()).alias("_b_cnt"),
+        F.min(
+            F.struct("turn_idx", "ts", F.col("is_boundary").alias("b"))
+        ).alias("_b_min"),
+    )
+    w_b = Window.partitionBy("conv_id").orderBy("_bucket")
+    per_bucket = per_bucket.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_b_cnt").over(w_b.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("_bucket_rn", F.row_number().over(w_b))
+
+    # visit_seq(row) = 1 + (#boundaries at-or-before row) - (1 if the
+    # conversation's first turn is itself a boundary) — the reference
+    # never opens a new visit on the first page (chunking_service.py:72).
+    first_flag = per_bucket.filter(F.col("_bucket_rn") == 1).select(
+        "conv_id", F.col("_b_min")["b"].cast("int").alias("_first_is_boundary")
+    )
+
+    # Level 2: intra-bucket running sum, keyed (conv_id, bucket) — the
+    # heavy shuffle has no hot key.
+    w_in = (
+        Window.partitionBy("conv_id", "_bucket")
+        .orderBy(*TURN_ORDER)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(_boundary_int()).over(w_in)
+    out = (
+        df.join(per_bucket.select("conv_id", "_bucket", "_offset"),
+                ["conv_id", "_bucket"])
+        .join(F.broadcast(first_flag), "conv_id")
+        .withColumn(
+            "visit_seq",
+            (F.lit(1) + F.col("_offset") + run - F.col("_first_is_boundary"))
+            .cast("int"),
+        )
+        .withColumn("visit_id", F.format_string("visit_%03d", F.col("visit_seq")))
+        .drop("_bucket", "_offset", "_first_is_boundary")
+    )
+    return out
+
+
+def visit_rollup(turns_with_visits: DataFrame,
+                 include_raw_text: bool = True) -> DataFrame:
+    """Per-visit chunk metadata (chunking_service.py:158-207 analog).
+
+    Single groupBy with map-side partial aggregation.  visit_date is the
+    first non-null extracted date in turn order (min over a struct —
+    no second window shuffle).  raw_text concatenation is optional: at
+    10^8-turn scale collect_list per visit is the one aggregate that
+    cannot stream; disable it and keep the turn-level table instead.
+    """
+    frag = F.format_string(
+        "\n--- Page %d ---\n%s\n", F.col("turn_idx"), F.col("text_clean")
+    )
+    aggs = [
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+        F.count("*").alias("turn_count"),
+        F.min(
+            F.when(
+                F.col("extracted_date").isNotNull(),
+                F.struct("turn_idx", "extracted_date"),
+            )
+        )["extracted_date"].alias("visit_date"),
+        F.avg("confidence").alias("confidence"),
+    ]
+    if include_raw_text:
+        aggs.append(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", frag.alias("frag")))),
+                    lambda s: s["frag"],
+                ),
+                "",
+            ).alias("raw_text")
+        )
+    return turns_with_visits.groupBy("conv_id", "visit_id").agg(*aggs)

@@ -94,7 +94,7 @@ def run_conversation(turns: list[dict]) -> dict:
         "doc": {
             "conv_id": turns[0]["conv_id"] if turns else None,
             "page_count": len(with_visits),
-            "ocr_confidence_avg": round(sum(confs) / len(confs), 2) if confs else 0.0,
+            "ocr_confidence_avg": rules.round2(sum(confs) / len(confs)) if confs else 0.0,
             "raw_ocr_text": combined_document_text(with_visits),
         },
     }
