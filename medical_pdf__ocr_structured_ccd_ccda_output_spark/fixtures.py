@@ -182,8 +182,12 @@ def entity_fixtures() -> dict[str, list[dict]]:
         {"conv_id": "conv_e", "visit_id": "visit_001",
          "problem": "Type 2 Diabetes Mellitus", "icd10_code": "E11.9",
          "status": "active", "source_page": 1},
+        # one-char typo -> SequenceMatcher ratio ~0.98 >= 0.85 (true fuzzy
+        # merge; note "Type 2 Diabetes" alone scores only 0.769 vs the
+        # full string — the reference's own integration test claims it
+        # merges, but its code keeps them separate; we follow the code)
         {"conv_id": "conv_e", "visit_id": "visit_001",
-         "problem": "Type 2 Diabetes", "icd10_code": None,
+         "problem": "Type 2 Diabetes Melitus", "icd10_code": None,
          "status": None, "source_page": 2},
         {"conv_id": "conv_e", "visit_id": "visit_001",
          "problem": "Hypertension", "icd10_code": "I10",

@@ -1,0 +1,164 @@
+"""Entity deduplication / merge (SURVEY §2.6 A6-A12).
+
+Two tiers, per the reference's semantics (deduplication_service.py):
+
+* the greedy first-occurrence-wins loop with fuzzy SequenceMatcher
+  matching is order-sensitive and mutates during iteration — inherently
+  sequential, but only WITHIN one (conv_id, visit_id) group, and groups
+  are tiny (tens of entries).  So the group loop runs in
+  ``applyInPandas`` (Arrow-batched, one Python call per group batch),
+  delegating to the shared pure-Python rule spec in rules.py so the
+  oracle and the Spark path share one implementation of the greedy
+  semantics.
+
+* group ordering is pinned to (source_page, source_line_in_turn, key)
+  — document order — because greedy results depend on it.
+
+The dedup decision log (enterprise improvement #3 analog) is emitted
+from the same pass as union-schema rows (row_kind='log') so merge and
+log cost one grouped shuffle; split_dedup_output() separates them.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import rules
+
+_KIND_SPEC = {
+    "medication": {
+        "key": "name",
+        "fields": ["name", "dose", "frequency", "route"],
+        "merge": rules.merge_medications,
+    },
+    "problem": {
+        "key": "problem",
+        "fields": ["problem", "icd10_code", "status"],
+        "merge": rules.merge_problems,
+    },
+    "result": {
+        "key": "test_name",
+        "fields": ["test_name", "value", "unit", "reference_range", "abnormal_flag"],
+        "merge": rules.merge_lab_results,
+    },
+}
+
+
+def _output_schema(kind: str) -> str:
+    ent = ", ".join(f"{f} string" for f in _KIND_SPEC[kind]["fields"])
+    return (
+        "conv_id string, visit_id string, row_kind string, "
+        f"{ent}, "
+        "source_pages array<int>, merge_confidence double, "
+        "alternative_representations array<string>, value_conflicts_json string, "
+        "action string, reason string, item1 string, item2 string, "
+        "similarity double, threshold double, log_source_pages array<int>"
+    )
+
+
+def dedup_entities(entities: DataFrame, kind: str,
+                   threshold: float = rules.FUZZY_THRESHOLD) -> DataFrame:
+    """Greedy dedup per (conv_id, visit_id); returns union-schema rows
+    (row_kind in {'entity','log'}).  Use split_dedup_output() after."""
+    import pandas as pd
+
+    spec = _KIND_SPEC[kind]
+    key, fields, merge = spec["key"], spec["fields"], spec["merge"]
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [c for c in ("source_page", "source_line_in_turn") if c in pdf.columns]
+        pdf = pdf.sort_values(sort_cols + [key], kind="mergesort")
+        conv_id = pdf["conv_id"].iloc[0]
+        visit_id = pdf["visit_id"].iloc[0]
+        records = []
+        for r in pdf.to_dict("records"):
+            records.append({k: (None if pd.isna(v) else v) for k, v in r.items()})
+        merged, log = merge(records, threshold)
+        out = []
+        for m in merged:
+            vc = m.get("value_conflicts")
+            out.append({
+                "conv_id": conv_id, "visit_id": visit_id, "row_kind": "entity",
+                **{f: m.get(f) for f in fields},
+                "source_pages": [int(p) for p in m.get("source_pages", [])],
+                "merge_confidence": m.get("merge_confidence"),
+                "alternative_representations": m.get("alternative_representations"),
+                "value_conflicts_json": json.dumps(vc) if vc else None,
+                "action": None, "reason": None, "item1": None, "item2": None,
+                "similarity": None, "threshold": None, "log_source_pages": None,
+            })
+        for entry in log:
+            out.append({
+                "conv_id": conv_id, "visit_id": visit_id, "row_kind": "log",
+                **{f: None for f in fields},
+                "source_pages": None, "merge_confidence": None,
+                "alternative_representations": None, "value_conflicts_json": None,
+                "action": entry["action"], "reason": entry["reason"],
+                "item1": entry["item1"], "item2": entry["item2"],
+                "similarity": entry["similarity"], "threshold": entry["threshold"],
+                "log_source_pages": [int(p) for p in entry["source_pages"]
+                                     if p is not None],
+            })
+        return pd.DataFrame(out)
+
+    return entities.groupBy("conv_id", "visit_id").applyInPandas(
+        per_group, schema=_output_schema(kind)
+    )
+
+
+def split_dedup_output(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(merged_entities, decision_log) — cache `combined` upstream if both
+    sides are consumed."""
+    log_cols = ["conv_id", "visit_id", "action", "reason", "item1", "item2",
+                "similarity", "threshold", "log_source_pages"]
+    ent = combined.filter(F.col("row_kind") == "entity").drop(
+        "row_kind", "action", "reason", "item1", "item2", "similarity",
+        "threshold", "log_source_pages")
+    log = combined.filter(F.col("row_kind") == "log").select(*log_cols)
+    return ent, log
+
+
+def exact_dedup_sql(entities: DataFrame, kind: str) -> DataFrame:
+    """Exact-tier-only dedup as pure SQL aggregates (no Python) — the
+    scale path when fuzzy matching is disabled: group on the normalized
+    key, first occurrence wins, union source pages, first non-null per
+    field (deduplication_service exact-match semantics).
+
+    Greedy parity holds for the exact tier because exact-match groups
+    are equivalence classes — order only affects which occurrence is
+    'first', pinned here by (source_page, source_line_in_turn).
+    """
+    spec = _KIND_SPEC[kind]
+    key, fields = spec["key"], spec["fields"]
+    norm = F.trim(F.regexp_replace(F.lower(F.col(key)), r"\s+", " "))
+    order_keys = [c for c in ("source_page", "source_line_in_turn")
+                  if c in entities.columns]
+    ordered_struct = F.struct(*order_keys, *[F.col(f) for f in fields])
+    return (
+        entities.withColumn("_norm_key", norm)
+        .groupBy("conv_id", "visit_id", "_norm_key")
+        .agg(
+            F.min(ordered_struct).alias("_first"),
+            *[
+                F.min(
+                    F.when(F.col(f).isNotNull(), F.struct(*order_keys, F.col(f)))
+                )[f].alias(f"_fill_{f}")
+                for f in fields
+            ],
+            F.array_sort(F.collect_set("source_page")).alias("source_pages"),
+            F.count("*").alias("occurrences"),
+        )
+        .select(
+            "conv_id", "visit_id",
+            F.col(f"_first.{key}").alias(key),
+            *[
+                F.coalesce(F.col(f"_first.{f}"), F.col(f"_fill_{f}")).alias(f)
+                for f in fields if f != key
+            ],
+            "source_pages",
+            F.when(F.size("source_pages") > 1, 0.95).alias("merge_confidence"),
+            "occurrences",
+        )
+    )

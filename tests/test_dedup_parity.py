@@ -1,0 +1,158 @@
+"""Dedup/merge + excerpt enrichment parity vs the shared rule spec."""
+
+import json
+
+import pytest
+
+from medical_pdf__ocr_structured_ccd_ccda_output_spark import fixtures, rules
+from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.dedup import (
+    dedup_entities,
+    exact_dedup_sql,
+    split_dedup_output,
+)
+from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.excerpts import (
+    conversation_lines,
+    enrich_excerpts,
+)
+
+
+def _oracle_merge(records, kind):
+    key = {"medication": "name", "problem": "problem", "result": "test_name"}[kind]
+    merge = {
+        "medication": rules.merge_medications,
+        "problem": rules.merge_problems,
+        "result": rules.merge_lab_results,
+    }[kind]
+    groups = {}
+    for r in records:
+        groups.setdefault((r["conv_id"], r["visit_id"]), []).append(r)
+    out = {}
+    for gk, rs in groups.items():
+        rs = sorted(rs, key=lambda r: (r["source_page"], r[key]))
+        merged, log = merge(rs)
+        out[gk] = (merged, log)
+    return out
+
+
+@pytest.mark.parametrize("kind,table", [
+    ("medication", "medications"),
+    ("problem", "problems"),
+    ("result", "results"),
+])
+def test_dedup_matches_rule_spec(spark, kind, table):
+    records = fixtures.entity_fixtures()[table]
+    df = spark.createDataFrame(records)
+    combined = dedup_entities(df, kind).cache()
+    ents, log = split_dedup_output(combined)
+    got = [r.asDict() for r in ents.collect()]
+    got_log = [r.asDict() for r in log.collect()]
+
+    oracle = _oracle_merge(records, kind)
+    want_n = sum(len(m) for m, _ in oracle.values())
+    want_log_n = sum(len(lg) for _, lg in oracle.values())
+    assert len(got) == want_n
+    assert len(got_log) == want_log_n
+
+    key = {"medication": "name", "problem": "problem", "result": "test_name"}[kind]
+    want_by_key = {
+        (gk[0], gk[1], m[key]): m
+        for gk, (ms, _) in oracle.items() for m in ms
+    }
+    for row in got:
+        w = want_by_key[(row["conv_id"], row["visit_id"], row[key])]
+        assert row["source_pages"] == w["source_pages"], row
+        assert row["merge_confidence"] == w.get("merge_confidence"), row
+        assert (row["alternative_representations"] or None) == (
+            w.get("alternative_representations") or None), row
+        got_vc = json.loads(row["value_conflicts_json"]) if row["value_conflicts_json"] else None
+        assert got_vc == w.get("value_conflicts"), row
+
+
+def test_dedup_golden_cases(spark):
+    """The reference's pinned integration cases (FIXTURES.md §3)."""
+    fx = fixtures.entity_fixtures()
+
+    meds, _ = split_dedup_output(dedup_entities(spark.createDataFrame(fx["medications"]), "medication").cache())
+    med_rows = {r["name"]: r.asDict() for r in meds.collect()}
+    # Aspirin/aspirin exact-case merge with field completion
+    assert "Aspirin" in med_rows and "aspirin" not in med_rows
+    assert med_rows["Aspirin"]["source_pages"] == [1, 3]
+    assert med_rows["Aspirin"]["route"] == "PO"
+    # Metformin dose conflict recorded
+    vc = json.loads(med_rows["Metformin"]["value_conflicts_json"])
+    assert vc["dose"] == ["500mg", "1000mg"]
+
+    probs, _ = split_dedup_output(dedup_entities(spark.createDataFrame(fx["problems"]), "problem").cache())
+    prob_rows = {r["problem"]: r.asDict() for r in probs.collect()}
+    # fuzzy >= 0.85 keeps the longer representation
+    assert "Type 2 Diabetes Mellitus" in prob_rows
+    assert "Type 2 Diabetes Melitus" not in prob_rows
+    assert prob_rows["Type 2 Diabetes Mellitus"]["alternative_representations"] == ["Type 2 Diabetes Melitus"]
+    # below threshold stays separate
+    assert "Hypertension" in prob_rows and "HTN" in prob_rows
+
+    res, _ = split_dedup_output(dedup_entities(spark.createDataFrame(fx["results"]), "result").cache())
+    res_rows = {r["test_name"]: r.asDict() for r in res.collect()}
+    # same test different value -> one row + value_conflicts
+    assert "Glucose" in res_rows and "glucose" not in res_rows
+    conflicts = json.loads(res_rows["Glucose"]["value_conflicts_json"])
+    assert conflicts == [{"value": "120", "unit": "mg/dL", "source_page": 2}]
+    # same test same value -> merged, unit completed
+    assert res_rows["A1c"]["source_pages"] == [1, 3]
+
+
+def test_similarity_thresholds():
+    # NOTE: the reference's integration test asserts
+    # ratio("Type 2 Diabetes Mellitus","Type 2 Diabetes") >= 0.85, but
+    # difflib actually returns 0.769 — the reference CODE keeps them
+    # separate, and we match the code, not the aspirational test.
+    assert rules.similarity("Type 2 Diabetes", "Type 2 Diabetes Mellitus") < 0.85
+    assert rules.similarity("Metformin 500mg", "Metformin 500 mg") >= 0.85
+    assert rules.similarity("Type 2 Diabetes Mellitus", "Type 2 Diabetes Melitus") >= 0.85
+    assert rules.similarity("Hypertension", "HTN") < 0.85
+    assert rules.normalize_term("  HTN  ") == "htn"
+
+
+def test_exact_dedup_sql(spark):
+    fx = fixtures.entity_fixtures()["medications"]
+    out = exact_dedup_sql(spark.createDataFrame(fx), "medication")
+    rows = {r["name"]: r.asDict() for r in out.collect()}
+    assert rows["Aspirin"]["source_pages"] == [1, 3]
+    assert rows["Aspirin"]["occurrences"] == 2
+    assert rows["Aspirin"]["route"] == "PO"        # field completion
+    assert rows["Aspirin"]["dose"] == "81mg"
+    assert rows["Metformin"]["dose"] == "500mg"    # first occurrence wins
+    assert rows["Lisinopril"]["merge_confidence"] is None
+
+
+def test_excerpt_enrichment(spark):
+    from pyspark.sql import functions as F
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.extract import extract_turns
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import assign_visits
+
+    df = fixtures.transcripts_spark_df(spark, 20, seed=42)
+    turns = assign_visits(extract_turns(df, with_sections=False))
+    lines = conversation_lines(turns).cache()
+
+    entities = spark.createDataFrame(
+        [("conv_000001", "visit_001", "Metformin"),
+         ("conv_000001", "visit_001", "zzz-not-present"),
+         ("conv_000002", "visit_001", "N/A")],
+        "conv_id string, visit_id string, name string",
+    )
+    out = {r["name"]: r.asDict() for r in
+           enrich_excerpts(entities, lines, "name").collect()}
+    assert len(out) == 3
+
+    # oracle: same line universe, reference find_excerpt rule
+    conv_lines = [
+        r["line"] for r in lines.filter(F.col("conv_id") == "conv_000001")
+        .orderBy("line_no").collect()
+    ]
+    want = rules.find_excerpt(conv_lines, "Metformin")
+    got = out["Metformin"]
+    if want:
+        assert got["source_line"] == want["source_line"]
+        assert got["source_excerpt"] == want["source_excerpt"]
+    assert out["zzz-not-present"]["source_line"] is None
+    assert out["N/A"]["source_line"] is None
