@@ -1,0 +1,88 @@
+"""spark-submit entrypoint with shard-manifest resumability.
+
+  spark-submit --py-files mpx.zip -m ... job.py \
+      --input /lake/transcripts --output /lake/out \
+      --run-id run42 --shards 64 [--skew-aware] [--resume]
+
+Each shard (hash bucket of conv_id) runs the full pipeline and commits
+its outputs before the manifest marks it done; a restart with --resume
+recomputes only pending shards.  Packaging: `make zip` equivalent —
+  cd /root/repo && zip -r mpx.zip medical_pdf__ocr_structured_ccd_ccda_output_spark
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from .pipeline import run_pipeline
+from .session import get_spark
+from .sources import io as tio
+from .sources.manifest import Manifest
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="transcripts table dir/prefix")
+    p.add_argument("--output", required=True, help="output dir/prefix")
+    p.add_argument("--run-id", default="run_0")
+    p.add_argument("--shards", type=int, default=1)
+    p.add_argument("--skew-aware", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-raw-text", action="store_true",
+                   help="skip combined-text sinks (the only per-conv "
+                        "collect at pathological conversation sizes)")
+    args = p.parse_args(argv)
+
+    spark = get_spark("ccda_extraction_job")
+    transcripts = tio.read_table(spark, args.input, "transcripts")
+    manifest = Manifest(spark, os.path.join(args.output, "_manifest"), args.run_id)
+
+    shards = (
+        manifest.pending(transcripts, args.shards)
+        if args.resume else list(range(args.shards))
+    )
+    t0 = time.time()
+    total = 0
+    for shard in shards:
+        part = (
+            manifest.filter_shard(transcripts, shard, args.shards)
+            if args.shards > 1 else transcripts
+        )
+        res = run_pipeline(
+            spark, part, run_id=args.run_id,
+            skew_aware=args.skew_aware,
+            include_raw_text=not args.no_raw_text,
+        )
+        mode = "overwrite"
+        suffix = f"_shard{shard}" if args.shards > 1 else ""
+        tio.write_table(res.extracted_turns, args.output, f"extracted_turns{suffix}", mode)
+        tio.write_table(res.visit_spans, args.output, f"visit_spans{suffix}", mode)
+        tio.write_table(res.documents, args.output, f"documents{suffix}", mode)
+        if res.medications is not None:
+            tio.write_table(res.medications, args.output, f"medications{suffix}", mode)
+            tio.write_table(res.problems, args.output, f"problems{suffix}", mode)
+            tio.write_table(res.lab_results, args.output, f"lab_results{suffix}", mode)
+            tio.write_table(res.dedup_log, args.output, f"dedup_log{suffix}", mode)
+        if res.ccd_xml is not None:
+            tio.write_table(res.ccd_xml, args.output, f"ccd_xml{suffix}", mode)
+        tio.write_table(res.metrics, args.output, f"metrics{suffix}", mode)
+        for stage, ldf in res.lineage.items():
+            tio.write_table(ldf, args.output, f"lineage_{stage}{suffix}", mode)
+        n = spark.read.parquet(
+            os.path.join(args.output, f"extracted_turns{suffix}.parquet")
+        ).count()
+        total += n
+        manifest.mark_done(shard, n)
+        print(f"[shard {shard}] {n} turns committed")
+
+    dt = time.time() - t0
+    print(f"run {args.run_id}: {total} turns in {dt:.1f}s "
+          f"({total / dt if dt else 0:.0f} turns/sec)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""End-to-end pipeline: transcripts -> extracted_turns, visit_spans,
+entities (+dedup log), doc rollups, metrics, lineage, CCD XML.
+
+Shuffle budget (the thing that matters at 100 TB):
+  stage 1  narrow extraction (scan-pipelined, codegen, zero Python)
+  stage 2  ONE shuffle on conv_id for the ordering window (or the
+           skew-aware bucketed variant's (conv_id,bucket) shuffles)
+  stage 3  groupBy rollups reuse the conv_id partitioning where
+           possible; entity dedup shuffles on (conv_id, visit_id)
+Lineage + metrics ride on the same DataFrames (no extra scans besides
+the small aggregates).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.dedup import dedup_entities, split_dedup_output
+from .operators.entities import (
+    extract_lab_results,
+    extract_medications,
+    extract_problems,
+)
+from .operators.extract import extract_turns
+from .operators.rollups import document_rollup, stage_metrics
+from .operators.sessionize import (
+    assign_visits,
+    assign_visits_skew_aware,
+    visit_rollup,
+)
+from .renderers.xml import render_ccd_xml
+from .sources.lineage import lineage_rows
+
+
+@dataclass
+class PipelineResult:
+    extracted_turns: DataFrame
+    visit_spans: DataFrame
+    documents: DataFrame
+    medications: DataFrame
+    problems: DataFrame
+    lab_results: DataFrame
+    dedup_log: DataFrame
+    metrics: DataFrame
+    lineage: dict[str, DataFrame] = field(default_factory=dict)
+    ccd_xml: DataFrame | None = None
+
+
+def run_pipeline(spark: SparkSession, transcripts: DataFrame,
+                 run_id: str = "run_0",
+                 skew_aware: bool = False,
+                 skew_bucket_size: int = 100_000,
+                 with_entities: bool = True,
+                 with_xml: bool = True,
+                 include_raw_text: bool = True) -> PipelineResult:
+    extracted = extract_turns(transcripts, with_sections=True)
+    if skew_aware:
+        turns = assign_visits_skew_aware(extracted, bucket_size=skew_bucket_size)
+    else:
+        turns = assign_visits(extracted)
+
+    visits = visit_rollup(turns, include_raw_text=include_raw_text)
+    docs = document_rollup(turns, include_combined_text=include_raw_text)
+    metrics = stage_metrics(turns)
+
+    meds = probs = labs = log = None
+    if with_entities:
+        import pyspark.sql.functions as F
+
+        med_raw = extract_medications(turns)
+        prob_raw = extract_problems(turns)
+        lab_raw = extract_lab_results(turns)
+        med_c = dedup_entities(med_raw, "medication")
+        prob_c = dedup_entities(prob_raw, "problem")
+        lab_c = dedup_entities(lab_raw, "result")
+        meds, med_log = split_dedup_output(med_c)
+        probs, prob_log = split_dedup_output(prob_c)
+        labs, lab_log = split_dedup_output(lab_c)
+        log = (
+            med_log.withColumn("entity_type", F.lit("medication"))
+            .unionByName(prob_log.withColumn("entity_type", F.lit("problem")))
+            .unionByName(lab_log.withColumn("entity_type", F.lit("result")))
+        )
+
+    lineage = {
+        "extracted_turns": lineage_rows(
+            turns, run_id, "extract+sessionize", ["conv_id", "turn_idx", "text_clean"]
+        ),
+    }
+
+    xml = None
+    if with_xml and include_raw_text:
+        xml = render_ccd_xml(visits)
+
+    return PipelineResult(
+        extracted_turns=turns,
+        visit_spans=visits,
+        documents=docs,
+        medications=meds,
+        problems=probs,
+        lab_results=labs,
+        dedup_log=log,
+        metrics=metrics,
+        lineage=lineage,
+        ccd_xml=xml,
+    )

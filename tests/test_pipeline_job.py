@@ -1,0 +1,74 @@
+"""End-to-end pipeline, XML renderer, manifest resumability."""
+
+import os
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from medical_pdf__ocr_structured_ccd_ccda_output_spark import fixtures
+from medical_pdf__ocr_structured_ccd_ccda_output_spark.pipeline import run_pipeline
+from medical_pdf__ocr_structured_ccd_ccda_output_spark.sources.manifest import Manifest
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = fixtures.transcripts_spark_df(spark, 30, seed=42)
+    return run_pipeline(spark, df, run_id="t")
+
+
+def test_pipeline_shapes(result):
+    n_turns = result.extracted_turns.count()
+    assert n_turns > 100
+    assert result.visit_spans.count() > 30
+    assert result.documents.count() == 30
+    assert result.metrics.count() >= 6
+    assert result.dedup_log.columns.count("entity_type") == 1
+
+
+def test_xml_well_formed(result):
+    rows = result.ccd_xml.limit(5).collect()
+    assert rows
+    for r in rows:
+        root = ET.fromstring(r["ccd_xml"])
+        assert root.tag.endswith("ClinicalDocument")
+
+
+def test_lineage(result):
+    lin = result.lineage["extracted_turns"].collect()
+    assert sum(r["rows"] for r in lin) == result.extracted_turns.count()
+    assert all(r["stage"] == "extract+sessionize" for r in lin)
+
+
+def test_job_resume(spark, tmp_path):
+    """Shard manifest: a second run with --resume skips completed shards."""
+    from pyspark.sql import functions as F
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    fixtures.transcripts_spark_df(spark, 12, seed=7).write.parquet(
+        os.path.join(in_dir, "transcripts.parquet"))
+
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark import job
+
+    # simulate a crashed run: pretend shard 0 already committed
+    transcripts = spark.read.parquet(os.path.join(in_dir, "transcripts.parquet"))
+    man = Manifest(spark, os.path.join(out_dir, "_manifest"), "r1")
+    assert man.pending(transcripts, 3) == [0, 1, 2]
+    man.mark_done(0, 0)
+    assert man.pending(transcripts, 3) == [1, 2]
+
+    job.main([
+        "--input", in_dir, "--output", out_dir,
+        "--run-id", "r1", "--shards", "3", "--resume", "--no-raw-text",
+    ])
+    man2 = Manifest(spark, os.path.join(out_dir, "_manifest"), "r1")
+    assert man2.pending(transcripts, 3) == []
+    # shard 0 was skipped -> no output dir for it
+    assert not os.path.exists(os.path.join(out_dir, "extracted_turns_shard0.parquet"))
+    got = spark.read.parquet(os.path.join(out_dir, "extracted_turns_shard1.parquet"))
+    assert got.count() > 0
+    # shards partition conv_ids disjointly
+    s1 = {r["conv_id"] for r in got.select("conv_id").distinct().collect()}
+    s2 = {r["conv_id"] for r in spark.read.parquet(
+        os.path.join(out_dir, "extracted_turns_shard2.parquet")
+    ).select("conv_id").distinct().collect()}
+    assert not (s1 & s2)
