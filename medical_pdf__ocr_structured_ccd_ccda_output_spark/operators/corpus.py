@@ -1,0 +1,370 @@
+"""Training-data corpus operators over the `documents` table
+(doc_id, text, lang, source, n_chars).
+
+These are the large-scale pipeline primitives beyond the reference's
+own operator set: deduplication (exact / minhash-LSH / simhash /
+n-gram-Jaccard), text quality scoring, language id, token counting and
+document fingerprinting.  Everything except the per-doc loops inside
+JVM expressions; no Python UDFs anywhere in this module.
+
+Scale notes per operator are in each docstring — the common theme:
+candidate generation via hash buckets (band join / min-shingle join)
+so the pairwise work is O(candidates), never O(n²) on the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# normalization + shingles
+# ---------------------------------------------------------------------------
+
+def norm_text(col):
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-gram strings (order-normalized via array_sort for
+    set semantics downstream)."""
+    words = F.split(norm_text(col), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup — hash-groupBy (one shuffle on the digest)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Group by md5 of normalized text; keep the smallest doc_id as the
+    canonical representative.  Output one row per distinct content with
+    its duplicate count.  At 100 TB: shuffle keys are 128-bit digests —
+    uniformly distributed, no skew; map-side combine shrinks the shuffle
+    to ~1 row per distinct digest per task."""
+    return (
+        documents
+        .withColumn("content_key", F.md5(norm_text(F.col("text"))))
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. minhash + LSH banding (shingle -> minhash -> band -> bucket join)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
+                       shingle_n: int = 3) -> DataFrame:
+    """k independent min-hashes per doc: xxhash64(seed_i, shingle) min'd
+    over the shingle array — all inside one projection (no explode, no
+    shuffle)."""
+    sh = word_shingles(F.col("text"), shingle_n)
+    sig = F.array(*[
+        F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ])
+    return documents.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
+                      bands: int = 8, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs via LSH banding + exact-Jaccard verification.
+
+    rows/band bucket join keys are (band_id, hash-of-band-slice) — the
+    self-join is an equi-join Catalyst executes as a shuffled hash join
+    on uniformly distributed keys.  Estimated Jaccard = fraction of
+    matching minhash components; candidates below threshold are dropped
+    before any pairwise text work."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id", "signature",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. simhash (64-bit) + hamming near-dup
+# ---------------------------------------------------------------------------
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """64-bit simhash over word tokens: per-bit weighted majority of
+    token hashes, built from 64 per-bit sums inside one projection."""
+    words = F.split(norm_text(F.col("text")), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    def _vote_fn(mask):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bit_exprs = []
+    for bit in range(64):
+        mask = F.lit(1 << bit).cast("long") if bit < 63 else F.lit(-(1 << 63)).cast("long")
+        votes = F.aggregate(hashes, F.lit(0), _vote_fn(mask))
+        bit_exprs.append(
+            F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
+        )
+    sim = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sim = sim.bitwiseOR(e)
+    return documents.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= k.  Candidate
+    generation: split the 64-bit hash into (k+1) blocks — any pair
+    within hamming<=k shares at least one exact block (pigeonhole), so
+    the self-join is equi on (block_id, block_value)."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    sh = simhash(documents)
+
+    def _block(i: int):
+        # last block absorbs the remainder bits
+        w = width if i < n_blocks - 1 else 64 - width * (n_blocks - 1)
+        mask = (1 << w) - 1
+        return F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned("simhash", i * width)
+            .bitwiseAND(F.lit(mask).cast("long")).alias("val"),
+        )
+
+    blocks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[_block(i) for i in range(n_blocks)])).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. n-gram Jaccard verification (exact, on candidate pairs only)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard near-dups with min-shingle candidate generation:
+    docs sharing their minimum shingle hash are candidates (LSH with one
+    hash); candidates get exact set Jaccard on distinct shingles.
+    Deliberately simple + fully SQL-expressible so DuckDB can oracle it."""
+    sh = documents.select(
+        "doc_id",
+        F.array_sort(word_shingles(F.col("text"), shingle_n)).alias("shingles"),
+    ).withColumn(
+        "min_shingle",
+        F.array_min(F.transform("shingles", lambda s: F.md5(s))),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (
+        F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
+        / F.size(F.array_union("a.shingles", "b.shingles"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.min_shingle") == F.col("b.min_shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. text quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that",
+]
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword / word-length heuristics plus a
+    composite [0,1] score.  Pure projections — fully scan-pipelined."""
+    text = F.col("text")
+    words = F.split(norm_text(text), " ")
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    score = (
+        F.least(F.lit(1.0), n_words.cast("double") / 100)
+        * F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.5)
+        * F.when(punct_ratio < 0.2, 1.0).otherwise(0.5)
+        * F.when(stop_ratio > 0.05, 1.0).otherwise(0.8)
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. language id (marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "with"],
+    "es": ["el", "la", "los", "las", "que", "de"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "les", "des", "une", "est"],
+}
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Deterministic marker-word scoring; argmax language with ties
+    broken by language code order, 'und' when no marker hits."""
+    words = F.split(norm_text(F.col("text")), " ")
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: F.array_contains(markers, w))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax by hits, tie -> lexicographically LAST lang wins under max;
+    # invert lang order trick not needed — define spec as max(hits, lang).
+    best = F.array_max(F.array(*scores))
+    return documents.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. token counting
+# ---------------------------------------------------------------------------
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letters / digits /
+    single punctuation), both as plain projections."""
+    text = F.col("text")
+    ws = F.size(F.split(F.trim(text), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+    return documents.select(
+        "doc_id",
+        F.when(F.length(F.trim(text)) == 0, 0).otherwise(ws).alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. document fingerprinting (winnowing over a rolling hash)
+# ---------------------------------------------------------------------------
+
+def fingerprints(documents: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing fingerprints: hash every k-gram of words, take the min
+    hash of each sliding window of `window` consecutive k-gram hashes,
+    distinct.  All array ops — no explode until the final fingerprint
+    set (kept as an array column)."""
+    grams = word_shingles(F.col("text"), k)  # distinct k-grams
+    hashes = F.array_sort(F.transform(grams, lambda g: F.xxhash64(g)))
+    m = F.size(hashes) - (window - 1)
+    wins = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    return documents.select(
+        "doc_id", F.array_sort(F.array_distinct(wins)).alias("fingerprints")
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding
+float[], label).
+
+* brute-force cosine top-k — the correctness baseline.  Query side is
+  broadcast; the corpus side streams, so the plan is scan + broadcast
+  nested loop + per-group top-k.  Dot products run in whole-stage
+  codegen via zip_with/aggregate (sequential fold -> deterministic,
+  bit-identical to an equivalent sequential fold in the oracle engine).
+
+* LSH-bucketed ANN (random hyperplanes) — the scale path: signature =
+  sign-bit string over H seeded deterministic hyperplanes; candidates
+  share a bucket; exact cosine re-ranking on candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
+                     k: int = 5) -> DataFrame:
+    """queries: (query_id, query_vec).  Returns (query_id, rank,
+    neighbor_id) with deterministic ties (score desc, vec_id asc);
+    self-matches excluded when query_id == vec_id."""
+    q = F.broadcast(queries).alias("q")
+    e = embeddings.alias("e")
+    scored = (
+        q.join(e, F.col("q.query_id") != F.col("e.vec_id"))
+        .select(
+            "q.query_id",
+            F.col("e.vec_id").alias("neighbor_id"),
+            cosine(F.col("q.query_vec"), F.col("e.embedding")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((n_planes, dim)).astype("float64")
+
+
+def lsh_signature_expr(vec: Column, planes) -> Column:
+    """Sign-bit signature as a string key (bucket id)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 8, n_tables: int = 8, dim: int | None = None,
+             seed: int = 42) -> DataFrame:
+    """ANN with OR-amplification: L independent hyperplane tables; a
+    corpus vector is a candidate if it collides with the query in ANY
+    table; exact cosine re-ranks the deduplicated candidates.  Recall
+    grows with n_tables (measured against brute_force_topk in tests);
+    the join stays equi on (table, bucket) — no cross product."""
+    if dim is None:
+        dim = len(queries.select("query_vec").first()["query_vec"])
+
+    def sig_array(vec: Column) -> Column:
+        return F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_signature_expr(
+                        vec, _hyperplanes(dim, n_planes, seed + 1000 * t)
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])
+        )
+
+    e_sig = embeddings.select(
+        "vec_id", "embedding", sig_array(F.col("embedding")).alias("s")
+    ).select("vec_id", "embedding", "s.tbl", "s.bucket").alias("e")
+    q_sig = F.broadcast(
+        queries.select(
+            "query_id", "query_vec", sig_array(F.col("query_vec")).alias("s")
+        ).select("query_id", "query_vec", "s.tbl", "s.bucket")
+    ).alias("q")
+    cand = (
+        q_sig.join(
+            e_sig,
+            (F.col("q.tbl") == F.col("e.tbl"))
+            & (F.col("q.bucket") == F.col("e.bucket"))
+            & (F.col("q.query_id") != F.col("e.vec_id")),
+        )
+        .select("q.query_id", "q.query_vec",
+                F.col("e.vec_id").alias("neighbor_id"), F.col("e.embedding"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("embedding")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+    )

@@ -1,0 +1,183 @@
+"""Corpus operators (dedup family, quality, langid, tokens,
+fingerprints), ANN, and multimodal plumbing over the driver testdata."""
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import corpus, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _norm(s):
+    return re.sub(r"\s+", " ", s.lower()).strip()
+
+
+def test_exact_dedup(spark, docs):
+    out = corpus.exact_dedup(docs)
+    got_total = out.agg(F.sum("dup_count")).first()[0]
+    assert got_total == docs.count()
+    # python oracle
+    rows = [(r["doc_id"], _norm(r["text"])) for r in docs.collect()]
+    groups = {}
+    for did, t in rows:
+        groups.setdefault(t, []).append(did)
+    assert out.count() == len(groups)
+    keep = {min(v) for v in groups.values()}
+    got_keep = {r["keep_doc_id"] for r in out.collect()}
+    assert got_keep == keep
+
+
+def test_ngram_jaccard_pairs_python_oracle(spark):
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in corpus.ngram_jaccard_pairs(df, 3, 0.5).collect()}
+
+    def shingles(t, n=3):
+        w = _norm(t).split(" ")
+        return set(" ".join(w[i:i + n]) for i in range(max(len(w) - n + 1, 1)))
+
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    s1, s2 = shingles(data[0][1]), shingles(data[1][1])
+    want = len(s1 & s2) / len(s1 | s2)
+    if want >= 0.5:
+        assert abs(got[(1, 2)] - want) < 1e-6
+    assert all(3 not in pair for pair in got)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    variant = base.replace("kappa", "lambda", 1)
+    data = [(1, base), (2, variant), (3, "unrelated words entirely disjoint corpus")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             corpus.minhash_lsh_pairs(df, num_hashes=32, bands=8,
+                                      jaccard_threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(200))
+    variant = base.replace("tok7 ", "tok7x ", 1)
+    df = spark.createDataFrame(
+        [(1, base), (2, variant), (3, " ".join(f"z{i}" for i in range(200)))],
+        "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in corpus.simhash_near_dups(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_quality_scores_python_oracle(spark, docs):
+    sample = docs.limit(20)
+    got = {r["doc_id"]: r.asDict() for r in corpus.quality_scores(sample).collect()}
+    for r in sample.collect():
+        words = _norm(r["text"]).split(" ")
+        n_words = len(words)
+        n_stop = sum(1 for w in words if w in corpus.STOPWORDS)
+        n_punct = len(r["text"]) - len(re.sub(r"[^\w\s]", "", r["text"]))
+        g = got[r["doc_id"]]
+        assert g["n_words"] == n_words
+        assert g["n_chars"] == len(r["text"])
+        assert abs(g["stopword_ratio"] - round(n_stop / n_words, 6)) <= 1e-6
+        assert abs(g["punct_ratio"] - round(n_punct / len(r["text"]), 6)) <= 1e-6
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is happy with the food"),
+         (2, "el gato y la casa que los perros de madrid"),
+         (3, "qwerty zxcvb asdfgh")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_guess"] for r in corpus.language_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world, 42 times!"), (2, ""), (3, "  a  b  ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in corpus.token_counts(df).collect()}
+    assert got[1]["ws_tokens"] == 4
+    # hello|world|,|42|times|! -> 6
+    assert got[1]["bpe_tokens"] == 6
+    assert got[2]["ws_tokens"] == 0
+    assert got[3]["ws_tokens"] == 2
+
+
+def test_fingerprints_python_oracle(spark):
+    txt = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    got = corpus.fingerprints(df, k=3, window=2).first()["fingerprints"]
+    assert len(got) >= 1
+    assert got == sorted(set(got))
+    # identical text -> identical fingerprints (determinism)
+    got2 = corpus.fingerprints(df, k=3, window=2).first()["fingerprints"]
+    assert got == got2
+
+
+def test_brute_force_topk_numpy_oracle(spark, emb):
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    got = similarity.brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    for qid, neighbors in by_q.items():
+        qv = mat[qid]
+        scores = []
+        for vid, v in mat.items():
+            if vid == qid:
+                continue
+            s = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            scores.append((-s, vid))
+        want = [vid for _, vid in sorted(scores)[:5]]
+        assert [v for _, v in sorted(neighbors)] == want, qid
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.limit(10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.lsh_topk(emb, queries, k=5, n_planes=6, n_tables=12).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall  # OR-amplified: 12 tables x 6 planes
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    feats = multimodal.decode_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert r["decode_status"] == "stub"
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-3
+    plan = multimodal.frame_sample_plan(media, every_ms=5000)
+    assert plan.count() > 0
+    with pytest.raises(Exception):
+        multimodal.decode_features(media, real_decode=True).collect()
