@@ -21,7 +21,10 @@ def _count_substring(text: Column, needle: str) -> Column:
     ).cast("int")
 
 
-def confidence_expr(text: Column) -> Column:
+def confidence_expr(text: Column, rounded: bool = True) -> Column:
+    """rounded=False skips the final bround — used by the DuckDB-oracled
+    entry queries where both engines compute the identical unrounded
+    float64 (rounding-mode differences would be the only divergence)."""
     length = F.length(text)
     low = F.lower(text)
 
@@ -62,5 +65,7 @@ def confidence_expr(text: Column) -> Column:
     c = F.when(abbrevs > 5, c - F.lit(0.05)).otherwise(c)
 
     cap = F.when(text.contains("[UNCLEAR"), F.lit(0.75)).otherwise(F.lit(0.85))
-    conf = F.bround(F.least(cap, F.greatest(F.lit(0.15), c)), 2)
+    conf = F.least(cap, F.greatest(F.lit(0.15), c))
+    if rounded:
+        conf = F.bround(conf, 2)
     return F.when(text.isNull() | (length < 10), F.lit(0.0)).otherwise(conf)

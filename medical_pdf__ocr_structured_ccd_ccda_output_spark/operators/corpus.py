@@ -216,7 +216,8 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        round_to: int | None = 6) -> DataFrame:
     """Exact Jaccard near-dups with min-shingle candidate generation:
     docs sharing their minimum shingle hash are candidates (LSH with one
     hash); candidates get exact set Jaccard on distinct shingles.
@@ -242,7 +243,7 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
+            (F.round(jac, round_to) if round_to is not None else jac).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -258,9 +259,11 @@ STOPWORDS = [
 ]
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
+def quality_scores(documents: DataFrame, round_to: int | None = 6) -> DataFrame:
     """Length / punctuation / stopword / word-length heuristics plus a
-    composite [0,1] score.  Pure projections — fully scan-pipelined."""
+    composite [0,1] score.  Pure projections — fully scan-pipelined.
+    round_to=None emits raw doubles (bit-identical across engines since
+    every ratio is an int/int division in a fixed op order)."""
     text = F.col("text")
     words = F.split(norm_text(text), " ")
     n_words = F.size(words)
@@ -280,14 +283,17 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         * F.when(punct_ratio < 0.2, 1.0).otherwise(0.5)
         * F.when(stop_ratio > 0.05, 1.0).otherwise(0.8)
     )
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
     return documents.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
-        F.round(score, 6).alias("quality_score"),
+        _r(stop_ratio).alias("stopword_ratio"),
+        _r(punct_ratio).alias("punct_ratio"),
+        _r(mean_wlen).alias("mean_word_len"),
+        _r(score).alias("quality_score"),
     )
 
 

@@ -34,7 +34,7 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
-                     k: int = 5) -> DataFrame:
+                     k: int = 5, round_to: int | None = 6) -> DataFrame:
     """queries: (query_id, query_vec).  Returns (query_id, rank,
     neighbor_id) with deterministic ties (score desc, vec_id asc);
     self-matches excluded when query_id == vec_id."""
@@ -51,10 +51,13 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
+    out_score = (
+        F.round("score", round_to) if round_to is not None else F.col("score")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+        .select("query_id", "rank", "neighbor_id", out_score.alias("score"))
     )
 
 
