@@ -1,0 +1,155 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries": {...}, "sf", ...}.
+
+The headline metric is extraction throughput (turns/sec) over a
+synthetic transcripts table scaled to the SF (generated once into a
+parquet dir so every run reads columnar input like production).
+
+Extra (not part of the JSON contract, appended as keys):
+  * scaling: same extraction job at local[8] vs local[32] when
+    SPARK_GRAFT_SCALING=1 — evidences the N->4N scaling-efficiency
+    criterion in-sandbox (see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+# transcripts corpus size by SF (conversations); ~20 turns/conv avg
+N_CONVS = {"0.001": 60, "0.01": 400, "0.1": 2500}.get(SF, 400)
+
+TRANSCRIPTS_CACHE = os.path.join(
+    REPO, ".bench_cache", f"transcripts_sf{SF}.parquet"
+)
+
+
+def _ensure_transcripts(spark):
+    if not os.path.exists(TRANSCRIPTS_CACHE):
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark import fixtures
+        df = fixtures.transcripts_spark_df(spark, N_CONVS, seed=42)
+        df.repartition(32).write.mode("overwrite").parquet(TRANSCRIPTS_CACHE)
+    return spark.read.parquet(TRANSCRIPTS_CACHE)
+
+
+def _materialize(df) -> int:
+    """Force FULL computation of every column (count() would let
+    Catalyst prune the expensive expressions away) without paying for a
+    real sink: noop write + an observed row count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format("noop") \
+        .mode("overwrite").save()
+    return obs.get["rows"]
+
+
+def _extraction_job(spark, transcripts):
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.extract import extract_turns
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import assign_visits
+    out = assign_visits(extract_turns(transcripts, with_sections=True))
+    return _materialize(out)
+
+
+def _timed(fn, *a):
+    t0 = time.time()
+    r = fn(*a)
+    return r, time.time() - t0
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    transcripts = _ensure_transcripts(spark)
+    n_turns = transcripts.count()
+
+    timings: dict[str, float] = {}
+
+    # headline: extraction + sessionization throughput (warm-up run pays
+    # JIT + python-worker startup; report min of 2 timed reps)
+    _extraction_job(spark, transcripts)
+    dts = [_timed(_extraction_job, spark, transcripts)[1] for _ in range(2)]
+    dt = min(dts)
+    timings["extraction_pipeline"] = round(dt, 3)
+    throughput = n_turns / dt if dt else 0.0
+
+    # representative operator queries at this SF
+    qs = entry.queries()
+    for name in [
+        "clean_extract", "confidence", "exact_dedup", "minhash_lsh_pairs",
+        "quality_scores", "token_counts", "ann_bruteforce", "ann_lsh",
+        "pricing_summary", "top_orders", "region_revenue",
+        "sessionize_events", "topk_per_group",
+    ]:
+        df = qs[name](spark, SF_DIR)
+        _, dt = _timed(lambda d=df: _materialize(d))
+        timings[name] = round(dt, 3)
+
+    result = {
+        "metric": "extraction_throughput",
+        "value": round(throughput, 1),
+        "unit": "turns/sec",
+        "queries": timings,
+        "sf": SF,
+        "n_turns": n_turns,
+        "cpus": CPUS,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # Same job, two parallelism levels, same input -> scaling
+        # efficiency (the in-sandbox analog of N vs 4N executors).
+        # The SF corpus is multiplied so compute dominates fixed
+        # scheduling overheads — the regime the 100 TB target runs in.
+        mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "20"))
+        big_path = os.path.join(REPO, ".bench_cache", f"transcripts_sf{SF}_x{mult}.parquet")
+        if not os.path.exists(big_path):
+            t = spark.read.parquet(TRANSCRIPTS_CACHE)
+            copies = F.explode(F.array(*[F.lit(i) for i in range(mult)])).alias("copy")
+            big = t.select(copies, "*").withColumn(
+                "conv_id", F.concat_ws("#", "conv_id", F.col("copy").cast("string"))
+            ).drop("copy")
+            big.repartition(64).write.mode("overwrite").parquet(big_path)
+        spark.stop()
+        scal = {}
+        n_big = None
+        for n in (8, 32):
+            s = get_spark(f"bench{n}", master=f"local[{n}]", shuffle_partitions=n)
+            t = s.read.parquet(big_path)
+            n_big, _ = _timed(_extraction_job, s, t)      # warm-up JIT/workers
+            reps = [_timed(_extraction_job, s, t)[1] for _ in range(3)]
+            scal[n] = min(reps)
+            s.stop()
+        eff = (scal[8] / scal[32]) / (32 / 8)
+        result["scaling"] = {
+            "n_turns": n_big,
+            "t_local8_sec": round(scal[8], 3),
+            "t_local32_sec": round(scal[32], 3),
+            "throughput_local8": round(n_big / scal[8], 1),
+            "throughput_local32": round(n_big / scal[32], 1),
+            "speedup": round(scal[8] / scal[32], 3),
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

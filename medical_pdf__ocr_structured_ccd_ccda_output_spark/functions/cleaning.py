@@ -12,6 +12,7 @@ the transcript payload domain (ASCII whitespace only) does not hit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -40,16 +41,16 @@ def clean_text_expr(text: Column) -> Column:
 
 
 def clean_text_pandas_udf():
-    """Arrow-vectorized alternative (same semantics, used in benchmarks to
-    compare against the JVM expression path)."""
-    import pandas as pd
+    """Arrow-batched extractor UDF (same semantics as clean_text_expr —
+    tested equal).  Shares rules.clean_text with the pytest oracle, and
+    the ArrowEvalPython node doubles as a materialization barrier for
+    the expensive cleaning step (see operators/extract.py)."""
     from pyspark.sql import types as T
 
-    @F.pandas_udf(T.StringType())
     def _clean(s: pd.Series) -> pd.Series:
         return s.map(rules.clean_text)
 
-    return _clean
+    return F.pandas_udf(_clean, T.StringType())
 
 
 def layout_hints_expr(text: Column) -> Column:

@@ -50,19 +50,35 @@ def confidence_expr(text: Column, rounded: bool = True) -> Column:
         )
     )
 
-    c = F.lit(0.70)
-    c = F.when(unclear > 0, c - F.least(F.lit(0.40), unclear * F.lit(0.15))).otherwise(c)
-    c = F.when(hw > 0, c - F.least(F.lit(0.15), hw * F.lit(0.05))).otherwise(c)
-    c = F.when(
+    # Linear form: every feature appears exactly once.  A naive
+    # when(cond, c - x).otherwise(c) chain embeds the running expression
+    # twice per step (2^n copies of every feature by the end) and the
+    # interpreted-lambda abbrev filter then dominates runtime.  Instead
+    # each step applies an identity element on the false branch
+    # (x - 0.0 == x, x * 1.0 == x bit-exactly for our value domain), so
+    # the float sequence matches rules.score_confidence operation-for-
+    # operation while the expression tree stays linear.
+    pen_unclear = F.when(
+        unclear > 0, F.least(F.lit(0.40), unclear * F.lit(0.15))
+    ).otherwise(F.lit(0.0))
+    pen_hw = F.when(
+        hw > 0, F.least(F.lit(0.15), hw * F.lit(0.05))
+    ).otherwise(F.lit(0.0))
+    pen_ambig = F.when(
         (total > 0) & (ambiguous.cast("double") / total > F.lit(0.15)),
-        c - F.lit(0.08),
-    ).otherwise(c)
-    c = F.when(length < 50, c * F.lit(0.85)).otherwise(c)
-    c = F.when((length > 500) & (newlines > 10), c + F.lit(0.05)).otherwise(c)
+        F.lit(0.08),
+    ).otherwise(F.lit(0.0))
+    short_mult = F.when(length < 50, F.lit(0.85)).otherwise(F.lit(1.0))
+    long_bonus = F.when(
+        (length > 500) & (newlines > 10), F.lit(0.05)
+    ).otherwise(F.lit(0.0))
+    abbrev_pen = F.when(abbrevs > 5, F.lit(0.05)).otherwise(F.lit(0.0))
+
+    c = (F.lit(0.70) - pen_unclear - pen_hw - pen_ambig) * short_mult + long_bonus
     c = F.when(
         low.contains("blocked") | low.contains("safety filter"), F.lit(0.15)
     ).otherwise(c)
-    c = F.when(abbrevs > 5, c - F.lit(0.05)).otherwise(c)
+    c = c - abbrev_pen
 
     cap = F.when(text.contains("[UNCLEAR"), F.lit(0.75)).otherwise(F.lit(0.85))
     conf = F.least(cap, F.greatest(F.lit(0.15), c))

@@ -4,9 +4,19 @@ Mirrors rules.extract_sections: a header line opens a span; the span
 ends on the line before the next header (or EOF).  Built with
 transform/filter/slice over the split line array — per-turn, no
 explode, no shuffle.
+
+Performance notes (interpreted-lambda reality):
+* a cheap single-regex PREFILTER guards the 22-rule match chain — the
+  overwhelming majority of lines fail the prefilter and never touch
+  the chain;
+* the header array is referenced as few times as possible inside the
+  span builder (each reference re-evaluates the filter chain when the
+  optimizer inlines it).
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -14,13 +24,30 @@ from pyspark.sql import functions as F
 from .. import rules
 
 
+def _prefilter_pattern() -> str:
+    """Union of all header names (spaced + nospace variants) anchored at
+    line start — a line failing this cannot match any section rule."""
+    names: set[str] = set()
+    for name in rules.MEDICAL_SECTIONS:
+        names.add(re.escape(name))
+        names.add(re.escape(name.replace(" ", "")))
+    for raw, _ in rules.EXTRA_SECTION_HEADERS:
+        names.add(re.escape(raw))
+    alts = "|".join(sorted(names, key=len, reverse=True))
+    return r"(?i)^\s*(?:" + alts + r")\s*:?\s*$|(?i)^\s*(?:" + alts + r")\s*:"
+
+
+SECTION_PREFILTER = _prefilter_pattern()
+
+
 def section_name_expr(line: Column) -> Column:
-    """First matching section rule wins (priority = rules.SECTION_RULES order)."""
+    """First matching section rule wins (priority = rules.SECTION_RULES
+    order), guarded by the prefilter."""
     expr = None
     for name, pat in rules.SECTION_RULES:
         cond = line.rlike(pat)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    return expr
+    return F.when(line.rlike(SECTION_PREFILTER), expr)
 
 
 def sections_expr(text: Column) -> Column:
@@ -35,9 +62,13 @@ def sections_expr(text: Column) -> Column:
         lambda h: h["section"].isNotNull(),
     )
 
-    def mk_span(h: Column, j: Column) -> Column:
-        nxt = F.try_element_at(hdrs, j + 2)
-        end_line = F.coalesce(nxt["i"], n)
+    # ends[j] = start of next header (or n): shift hdr starts left by one.
+    # Building spans via zip_with keeps references to `hdrs` down to two.
+    starts = F.transform(hdrs, lambda h: h["i"])
+    ends = F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                    F.when(F.size(starts) > 0, F.array(n)).otherwise(F.array()))
+
+    def mk_span(h: Column, end_line: Column) -> Column:
         return F.struct(
             h["section"].alias("section"),
             (h["i"] + 1).alias("start_line"),
@@ -47,4 +78,4 @@ def sections_expr(text: Column) -> Column:
             ).alias("text"),
         )
 
-    return F.transform(hdrs, mk_span)
+    return F.zip_with(hdrs, ends, mk_span)

@@ -64,18 +64,31 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 # 2. minhash + LSH banding (shingle -> minhash -> band -> bucket join)
 # ---------------------------------------------------------------------------
 
+_MAX_LONG = (1 << 63) - 1
+
+
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
                        shingle_n: int = 3) -> DataFrame:
-    """k independent min-hashes per doc: xxhash64(seed_i, shingle) min'd
-    over the shingle array — all inside one projection (no explode, no
-    shuffle)."""
+    """k independent min-hashes per doc, computed as ONE fold over the
+    shingle array (aggregate + zip_with least).
+
+    Why a fold and not k separate array_min(transform(...)) columns:
+    higher-order-function lambdas are evaluated interpreted (outside
+    whole-stage codegen) and Catalyst inlines the shingle-array
+    expression into every component — k components × b band slices
+    re-shingled the text ~256× per row (measured 231 s at sf0.1; the
+    fold form is ~1 traversal -> two orders of magnitude faster)."""
     sh = word_shingles(F.col("text"), shingle_n)
-    sig = F.array(*[
-        F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
-    ])
+
+    def step(acc, s):
+        hashes = F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    sig = F.aggregate(
+        sh,
+        F.array(*[F.lit(_MAX_LONG).cast("long")] * num_hashes),
+        step,
+    )
     return documents.select("doc_id", sig.alias("signature"))
 
 
@@ -150,22 +163,32 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
 
 def simhash(documents: DataFrame) -> DataFrame:
     """64-bit simhash over word tokens: per-bit weighted majority of
-    token hashes, built from 64 per-bit sums inside one projection."""
+    token hashes.  Single fold over the token-hash array producing the
+    64-vote vector in one traversal (same interpreted-lambda rationale
+    as minhash_signatures), then one zip_with/fold to assemble bits."""
     words = F.split(norm_text(F.col("text")), " ")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    def _vote_fn(mask):
-        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+    masks = F.array(*[
+        F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)
+    ])
 
-    bit_exprs = []
-    for bit in range(64):
-        mask = F.lit(1 << bit).cast("long") if bit < 63 else F.lit(-(1 << 63)).cast("long")
-        votes = F.aggregate(hashes, F.lit(0), _vote_fn(mask))
-        bit_exprs.append(
-            F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
-        )
-    sim = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        sim = sim.bitwiseOR(e)
+    votes = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0)] * 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            votes, masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a.bitwiseOR(b),
+    )
     return documents.select("doc_id", sim.alias("simhash"))
 
 

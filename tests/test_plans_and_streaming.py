@@ -1,0 +1,76 @@
+"""Plan-shape pins (pushdown, pruning, broadcast, shuffle budget) and
+the streaming smoke test."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from medical_pdf__ocr_structured_ccd_ccda_output_spark import fixtures
+from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.extract import extract_turns
+from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import assign_visits
+from medical_pdf__ocr_structured_ccd_ccda_output_spark.plans.inspect import (
+    broadcast_join_count,
+    has_pushed_filters,
+    read_schema_columns,
+    shuffle_exchange_count,
+)
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1996-01-01").select("l_orderkey", "l_quantity")
+    assert has_pushed_filters(q)
+    cols = read_schema_columns(q)
+    # column pruning: only the 3 needed columns are read
+    assert set(cols) <= {"l_orderkey", "l_quantity", "l_shipdate"}
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    import __spark_entry__ as entry
+    q = entry.queries()["region_revenue"](spark, sf_dir)
+    assert broadcast_join_count(q) >= 3  # customer, nation, region
+
+
+def test_extraction_shuffle_budget(spark, tmp_path):
+    """The extraction+sessionize pipeline must cost exactly ONE shuffle
+    (the conv_id ordering window).  A regression adding shuffles here
+    multiplies cost at 100 TB."""
+    p = str(tmp_path / "t.parquet")
+    fixtures.transcripts_spark_df(spark, 10, seed=1).write.parquet(p)
+    t = spark.read.parquet(p)
+    out = assign_visits(extract_turns(t, with_sections=True))
+    assert shuffle_exchange_count(out) == 1
+
+
+def test_extractor_variants_agree(spark):
+    df = fixtures.transcripts_spark_df(spark, 15, seed=3)
+    a = extract_turns(df, with_sections=False, arrow_extractor=True) \
+        .select("conv_id", "turn_idx", "text_clean", "confidence")
+    b = extract_turns(df, with_sections=False, arrow_extractor=False) \
+        .select("conv_id", "turn_idx", "text_clean", "confidence")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_streaming_extraction(spark, tmp_path):
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.streaming.stream import (
+        run_stream_to_parquet,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = fixtures.transcripts_spark_df(spark, 8, seed=5)
+    df.write.parquet(in_dir)
+    n = df.count()
+
+    q = run_stream_to_parquet(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n
+    assert "visit_id" in got.columns and "text_clean" in got.columns
+    # restart with no new files -> no duplicates (checkpoint dedup)
+    q2 = run_stream_to_parquet(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n
