@@ -283,6 +283,185 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["topk_per_group"] = q_topk_per_group
 
+    def q_visit_sessionize(spark, sf):
+        """W2 running-sum sessionize (chunking_service.py:44-103) over
+        documents-as-transcripts.  The synthetic documents never match the
+        medical boundary regexes (no dates), so the boundary flag here is
+        a mid-frequency content predicate — assign_visits is agnostic to
+        how is_boundary was derived; the medical boundary rules are
+        oracled separately (boundary_flags) and pytest-checked end-to-end
+        on transcripts."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import (
+            assign_visits,
+        )
+        d = _read(spark, sf, "documents")
+        turns = d.select(
+            F.col("source").alias("conv_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+            F.col("text").rlike(r"\bspark\b").alias("is_boundary"),
+        )
+        return assign_visits(turns).select(
+            F.col("conv_id").alias("source"),
+            F.col("turn_idx").alias("doc_id"),
+            "visit_id",
+        )
+    q["visit_sessionize"] = q_visit_sessionize
+
+    def q_visit_rollup(spark, sf):
+        """W3/W4/A1/A3 rollup per (source, visit_id) on top of the
+        sessionized documents; int-exact aggregates + one explicit
+        sum/count division so both engines do the identical float op."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import (
+            assign_visits,
+        )
+        d = _read(spark, sf, "documents")
+        turns = d.select(
+            F.col("source").alias("conv_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+            F.col("text").rlike(r"\bspark\b").alias("is_boundary"),
+            F.length("text").alias("_chars"),
+        )
+        return (
+            assign_visits(turns)
+            .groupBy(F.col("conv_id").alias("source"), "visit_id")
+            .agg(
+                F.count("*").alias("page_count"),
+                F.min("turn_idx").alias("first_doc"),
+                F.max("turn_idx").alias("last_doc"),
+                F.sum("_chars").alias("total_chars"),
+                (F.sum("_chars").cast("double") / F.count("*")).alias("avg_chars"),
+            )
+        )
+    q["visit_rollup"] = q_visit_rollup
+
+    def q_combined_text(spark, sf):
+        """S7 combined-text sink shape (structuring_service.py:294-302):
+        per-conversation ordered concat with PAGE banners."""
+        d = _read(spark, sf, "documents")
+        banner = "=" * 80
+        frag = F.format_string(
+            "%s\nPAGE %d\n%s\n\n%s\n\n",
+            F.lit(banner), F.col("doc_id"), F.lit(banner), F.col("text"),
+        )
+        return d.groupBy("source").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", frag.alias("frag")))),
+                    lambda s: s["frag"],
+                ),
+                "",
+            ).alias("combined_text")
+        )
+    q["combined_text"] = q_combined_text
+
+    def q_numbered_tokens(spark, sf):
+        """F5 line-numbering shape (structuring_service.py:137-138):
+        posexplode + format_string '%4d| tok' (documents are single-line,
+        so the exploded unit is the whitespace token)."""
+        d = _read(spark, sf, "documents")
+        tok = F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "tok")
+        return d.select("doc_id", tok).select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("token_no"),
+            F.format_string("%4d| %s", F.col("pos") + 1, F.col("tok")).alias("numbered"),
+        )
+    q["numbered_tokens"] = q_numbered_tokens
+
+    def q_excerpt_join(spark, sf):
+        """F6/J2 source-excerpt enrichment: entities ⨝ lines equi-join on
+        conv with a contains residual, first-hit min-struct, 60-char
+        excerpt window starting 10 chars before the hit
+        (structuring_service.py:324-383)."""
+        from pyspark.sql import Window
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.excerpts import (
+            enrich_excerpts,
+        )
+        d = _read(spark, sf, "documents")
+        lines = d.select(
+            F.col("source").alias("conv_id"),
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy("doc_id"))
+            .alias("line_no"),
+            F.col("text").alias("line"),
+        )
+        needles = spark.createDataFrame(
+            [("spark",), ("merge",), ("window",), ("batch",)], ["needle"]
+        )
+        entities = (
+            d.select(F.col("source").alias("conv_id")).distinct().crossJoin(needles)
+        )
+        out = enrich_excerpts(entities, lines, key_col="needle")
+        return out.select(
+            F.col("conv_id").alias("source"), "needle", "source_line", "source_excerpt"
+        )
+    q["excerpt_join"] = q_excerpt_join
+
+    def q_promo_revenue(spark, sf):
+        """TPC-H Q14 shape: broadcast part ⨝ lineitem, conditional decimal
+        aggregate, one final double division."""
+        li = _read(spark, sf, "lineitem")
+        p = _read(spark, sf, "part")
+        dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+        disc = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(
+                F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,4)")))
+                .cast("double").alias("promo_rev"),
+                F.sum(disc).cast("double").alias("total_rev"),
+            )
+            .select(
+                "promo_rev", "total_rev",
+                (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+            )
+        )
+    q["promo_revenue"] = q_promo_revenue
+
+    def q_top_suppliers(spark, sf):
+        """TPC-H Q15 shape: revenue per supplier, top 10 with deterministic
+        tie-break."""
+        li = _read(spark, sf, "lineitem")
+        s = _read(spark, sf, "supplier")
+        dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+        rev = (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01"))
+            )
+            .groupBy("l_suppkey")
+            .agg(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                .alias("rev_dec")
+            )
+        )
+        return (
+            rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+            .select(
+                "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
+            .limit(10)
+        )
+    q["top_suppliers"] = q_top_suppliers
+
+    def q_first_wins_merge(spark, sf):
+        """A6/A10 exact-tier merge shape over events-as-entities: first
+        occurrence wins (min-by over stable order), sorted set of source
+        ids, field-completion conflict flag (deduplication_service.py:
+        101-231)."""
+        ev = _read(spark, sf, "events")
+        first = F.min(F.struct("ts", "event_id", F.col("props").alias("props")))
+        return ev.groupBy("user_id", "event_type").agg(
+            first.getField("event_id").alias("keep_event_id"),
+            F.array_sort(F.collect_set("event_id")).alias("source_events"),
+            F.countDistinct("props").alias("n_variants"),
+            (F.countDistinct("props") > 1).alias("has_conflict"),
+            F.when(F.count("*") > 1, F.lit(0.95)).otherwise(F.lit(0.7)).alias("merge_confidence"),
+        )
+    q["first_wins_merge"] = q_first_wins_merge
+
     def q_user_stats(spark, sf):
         ev = _read(spark, sf, "events")
         return ev.groupBy("user_id").agg(
@@ -293,7 +472,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["user_stats"] = q_user_stats
 
+    def q_parse_names(spark, sf):
+        """F10 name parsing (xml_renderer_v2.py:653-662) over customer
+        names."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.lookup import (
+            parse_name_expr,
+        )
+        c = _read(spark, sf, "customer")
+        parsed = parse_name_expr(F.col("c_name"))
+        return c.select(
+            "c_custkey",
+            parsed["given"].alias("given"),
+            parsed["family"].alias("family"),
+        )
+    q["parse_names"] = q_parse_names
+
+    def q_contains_code_lookup(spark, sf):
+        """F11 ordered first-match substring code lookup
+        (xml_renderer_v2.py:664-676) — same when-chain shape as the
+        SNOMED/LOINC maps, keyed on the part-name vocabulary so matches
+        actually occur in the synthetic data."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.lookup import (
+            code_lookup_expr,
+        )
+        code_map = [("widget", "W-001"), ("gear", "G-002"), ("bolt", "B-003")]
+        p = _read(spark, sf, "part")
+        hit = code_lookup_expr(F.col("p_name"), code_map)
+        return p.select(
+            "p_partkey",
+            hit["code"].alias("code"),
+            hit["display"].alias("display"),
+        )
+    q["contains_code_lookup"] = q_contains_code_lookup
+
+    def q_mark_unclear(spark, sf):
+        """F9 unclear marking (variant_preservation.py:170-185) driven by
+        the F1 confidence score; guess = first whitespace token."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.lookup import (
+            mark_unclear_expr,
+        )
+        d = _read(spark, sf, "documents")
+        conf = confidence_expr(F.col("text"), rounded=False)
+        guess = F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
+        return d.select(
+            "doc_id", mark_unclear_expr(guess, conf).alias("marked")
+        )
+    q["mark_unclear"] = q_mark_unclear
+
     # ---- rows-only (non-SQL-expressible; pytest-oracled instead) ----
+    def q_variant_lookup(spark, sf):
+        """F8 variant preservation: known-variant broadcast join +
+        difflib close matches (not SQL-expressible; pytest-oracled
+        against rules.term_variants)."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.lookup import (
+            variant_lookup,
+        )
+        terms = spark.createDataFrame(
+            [("polydypsia",), ("hypoglycemia",), ("glucose",), ("hemoglobin",),
+             ("anxiety",), ("oesophagus",)],
+            ["term"],
+        )
+        dico = ["polydipsia", "hypoglycaemia", "glucose", "haemoglobin",
+                "anxiety", "esophagus"]
+        out = variant_lookup(terms, "term", dictionary=dico)
+        return out.select(
+            "term", F.col("alternatives").cast("string").alias("alternatives"),
+            "decision",
+        )
+    q["variant_lookup"] = q_variant_lookup
+
+    def q_ccd_xml(spark, sf):
+        """S8 CCD/CCDA XML sink over the fixture transcripts pipeline
+        (xml_renderer.py:34-69 analog); rows-only — string equality is
+        pytest-checked."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark import fixtures
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.extract import extract_turns
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import (
+            assign_visits,
+            visit_rollup,
+        )
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.renderers.xml import render_ccd_xml
+
+        df = fixtures.transcripts_spark_df(spark, 20, seed=42)
+        visits = visit_rollup(assign_visits(extract_turns(df, with_sections=False)))
+        return render_ccd_xml(visits).select("conv_id", F.length("ccd_xml").alias("xml_len"))
+    q["ccd_xml"] = q_ccd_xml
+
     def q_minhash_pairs(spark, sf):
         return corpus.minhash_lsh_pairs(
             _read(spark, sf, "documents"), num_hashes=32, bands=8,
@@ -563,9 +827,180 @@ FROM ranked WHERE rank <= 5
 """
 
 
+_VISIT_SESSIONIZE_CTE = r"""
+ordered AS (
+  SELECT source, doc_id, text, length(text) AS n_chars,
+    regexp_matches(text, '\bspark\b') AS is_boundary,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), seq AS (
+  SELECT source, doc_id, n_chars,
+    1 + SUM(CASE WHEN is_boundary AND rn > 1 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      AS visit_seq
+  FROM ordered
+)
+"""
+
+_EXCERPT_JOIN_SQL = r"""
+WITH lines AS (
+  SELECT source AS conv_id,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS line_no,
+    text AS line
+  FROM documents
+), needles AS (
+  SELECT unnest(['spark', 'merge', 'window', 'batch']) AS needle
+), pairs AS (
+  SELECT DISTINCT d.source AS conv_id, n.needle
+  FROM documents d CROSS JOIN needles n
+), hits AS (
+  SELECT p.conv_id, p.needle, MIN(l.line_no) AS source_line
+  FROM pairs p JOIN lines l
+    ON l.conv_id = p.conv_id AND instr(lower(l.line), p.needle) > 0
+  GROUP BY 1, 2
+), enriched AS (
+  SELECT h.conv_id, h.needle, h.source_line, l.line,
+    instr(lower(l.line), h.needle) - 1 AS pos0
+  FROM hits h JOIN lines l
+    ON l.conv_id = h.conv_id AND l.line_no = h.source_line
+), ex AS (
+  SELECT conv_id, needle, source_line,
+    greatest(0, pos0 - 10) AS start0,
+    least(length(line), greatest(0, pos0 - 10) + 60) AS end0,
+    line
+  FROM enriched
+)
+SELECT p.conv_id AS source, p.needle,
+  CAST(e.source_line AS INT) AS source_line,
+  substr(regexp_replace(regexp_replace(
+      substr(e.line, e.start0 + 1, e.end0 - e.start0), '^\s+', ''), '\s+$', ''),
+    1, 60) AS source_excerpt
+FROM pairs p
+LEFT JOIN ex e ON e.conv_id = p.conv_id AND e.needle = p.needle
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok_re = corpus.TOKEN_REGEX.replace("'", "''")
     return {
+        "visit_sessionize": f"""
+            WITH {_VISIT_SESSIONIZE_CTE}
+            SELECT source, CAST(doc_id AS INT) AS doc_id,
+                   printf('visit_%03d', CAST(visit_seq AS INT)) AS visit_id
+            FROM seq
+        """,
+        "visit_rollup": f"""
+            WITH {_VISIT_SESSIONIZE_CTE}
+            SELECT source, printf('visit_%03d', CAST(visit_seq AS INT)) AS visit_id,
+              COUNT(*) AS page_count,
+              CAST(MIN(doc_id) AS INT) AS first_doc,
+              CAST(MAX(doc_id) AS INT) AS last_doc,
+              SUM(n_chars) AS total_chars,
+              CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+            FROM seq GROUP BY 1, 2
+        """,
+        "combined_text": f"""
+            SELECT source,
+              string_agg(
+                printf('%s' || chr(10) || 'PAGE %d' || chr(10) || '%s'
+                       || chr(10) || chr(10) || '%s' || chr(10) || chr(10),
+                       '{"=" * 80}', doc_id, '{"=" * 80}', text),
+                '' ORDER BY doc_id) AS combined_text
+            FROM documents GROUP BY source
+        """,
+        "numbered_tokens": r"""
+            SELECT doc_id, CAST(i AS INT) AS token_no,
+                   printf('%4d| %s', i, toks[i]) AS numbered
+            FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+                  FROM documents),
+                 LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+        """,
+        "excerpt_join": _EXCERPT_JOIN_SQL,
+        "promo_revenue": """
+            WITH j AS (
+              SELECT CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS disc,
+                     p.p_type
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ), s AS (
+              SELECT
+                CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS promo_rev,
+                CAST(CAST(SUM(disc) AS VARCHAR) AS DOUBLE) AS total_rev
+              FROM j
+            )
+            SELECT promo_rev, total_rev,
+                   (100.0 * promo_rev) / total_rev AS promo_pct
+            FROM s
+        """,
+        "top_suppliers": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_dec
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, CAST(CAST(r.rev_dec AS VARCHAR) AS DOUBLE) AS revenue
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            ORDER BY revenue DESC, s.s_suppkey ASC
+            LIMIT 10
+        """,
+        "parse_names": r"""
+            WITH p AS (
+              SELECT c_custkey, c_name, trim(c_name) AS t,
+                regexp_split_to_array(trim(c_name), '\s+') AS parts
+              FROM customer
+            )
+            SELECT c_custkey,
+              CASE WHEN t = '' THEN ''
+                   WHEN len(parts) >= 2
+                   THEN array_to_string(parts[1:len(parts)-1], ' ')
+                   ELSE '' END AS given,
+              CASE WHEN t = '' THEN c_name ELSE parts[len(parts)] END AS family
+            FROM p
+        """,
+        "contains_code_lookup": """
+            SELECT p_partkey,
+              CASE WHEN contains(lower(p_name), 'widget') THEN 'W-001'
+                   WHEN contains(lower(p_name), 'gear') THEN 'G-002'
+                   WHEN contains(lower(p_name), 'bolt') THEN 'B-003' END AS code,
+              CASE WHEN contains(lower(p_name), 'widget') THEN 'Widget'
+                   WHEN contains(lower(p_name), 'gear') THEN 'Gear'
+                   WHEN contains(lower(p_name), 'bolt') THEN 'Bolt' END AS display
+            FROM part
+        """,
+        "mark_unclear": rf"""
+            WITH conf AS ({_CONFIDENCE_SQL_BODY}),
+            g AS (
+              SELECT doc_id,
+                (regexp_split_to_array(trim(text), '\s+'))[1] AS guess
+              FROM documents
+            )
+            SELECT c.doc_id,
+              CASE WHEN c.confidence_raw < 0.3 OR g.guess IS NULL OR g.guess = ''
+                   THEN '[ILLEGIBLE]'
+                   ELSE '[UNCLEAR: ' || g.guess || ']' END AS marked
+            FROM conf c JOIN g ON c.doc_id = g.doc_id
+        """,
+        "first_wins_merge": """
+            WITH f AS (
+              SELECT user_id, event_type, event_id, props,
+                row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+              FROM events
+            )
+            SELECT user_id, event_type,
+              MAX(CASE WHEN rn = 1 THEN event_id END) AS keep_event_id,
+              list_sort(list_distinct(list(event_id))) AS source_events,
+              COUNT(DISTINCT props) AS n_variants,
+              COUNT(DISTINCT props) > 1 AS has_conflict,
+              CAST(CASE WHEN COUNT(*) > 1 THEN 0.95 ELSE 0.7 END AS DOUBLE)
+                AS merge_confidence
+            FROM f GROUP BY 1, 2
+        """,
         "clean_extract": _CLEAN_SQL,
         "confidence": _CONFIDENCE_SQL_BODY,
         "layout_hints": """
@@ -611,10 +1046,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": _ANN_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
               COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -628,7 +1063,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY l_orderkey
             )
             SELECT r.l_orderkey, c.c_name AS customer,
-                   CAST(r.revenue_dec AS DOUBLE) AS revenue
+                   CAST(CAST(r.revenue_dec AS VARCHAR) AS DOUBLE) AS revenue
             FROM rev r
             JOIN orders o ON r.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -637,8 +1072,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_revenue": """
             SELECT rg.r_name AS region,
-              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+              CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
               COUNT(DISTINCT o.o_orderkey) AS n_orders
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -673,7 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         "user_stats": """
             SELECT user_id, COUNT(*) AS n_events,
               COUNT(DISTINCT event_type) AS n_types,
-              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+              CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
               MAX(value) AS max_value
             FROM events GROUP BY user_id
         """,

@@ -83,15 +83,20 @@ def main():
 
     timings: dict[str, float] = {}
 
-    # headline: extraction + sessionization throughput (warm-up run pays
-    # JIT + python-worker startup; report min of 2 timed reps)
-    _extraction_job(spark, transcripts)
-    dts = [_timed(_extraction_job, spark, transcripts)[1] for _ in range(2)]
+    # headline: extraction + sessionization throughput.  The generated
+    # whole-stage-codegen methods take several invocations before the C2
+    # JIT compiles them (first runs are 10-20x slower) — irrelevant at
+    # production scale where a job runs minutes per stage, so the bench
+    # warms until the timing stabilizes and reports steady state.
+    warm = [_timed(_extraction_job, spark, transcripts)[1] for _ in range(4)]
+    n_reps = 3
+    dts = [_timed(_extraction_job, spark, transcripts)[1] for _ in range(n_reps)]
     dt = min(dts)
     timings["extraction_pipeline"] = round(dt, 3)
     throughput = n_turns / dt if dt else 0.0
 
-    # representative operator queries at this SF
+    # representative operator queries at this SF (1 warm-up rep pays
+    # planning + codegen JIT; report min of 2 steady-state reps)
     qs = entry.queries()
     for name in [
         "clean_extract", "confidence", "exact_dedup", "minhash_lsh_pairs",
@@ -100,7 +105,8 @@ def main():
         "sessionize_events", "topk_per_group",
     ]:
         df = qs[name](spark, SF_DIR)
-        _, dt = _timed(lambda d=df: _materialize(d))
+        _materialize(df)
+        dt = min(_timed(lambda d=df: _materialize(d))[1] for _ in range(2))
         timings[name] = round(dt, 3)
 
     result = {
@@ -133,7 +139,8 @@ def main():
         for n in (8, 32):
             s = get_spark(f"bench{n}", master=f"local[{n}]", shuffle_partitions=n)
             t = s.read.parquet(big_path)
-            n_big, _ = _timed(_extraction_job, s, t)      # warm-up JIT/workers
+            for _ in range(3):                            # JIT + worker warm-up
+                n_big, _ = _timed(_extraction_job, s, t)
             reps = [_timed(_extraction_job, s, t)[1] for _ in range(3)]
             scal[n] = min(reps)
             s.stop()

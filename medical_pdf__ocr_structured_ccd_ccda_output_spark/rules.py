@@ -621,6 +621,69 @@ def mark_unclear(best_guess: str | None, confidence: float) -> str:
     return f"[UNCLEAR: {best_guess}]"
 
 
+def term_variants(term: str, dictionary: list[str] | None = None) -> dict:
+    """Variant preservation (variant_preservation.py:126-168): known-
+    variant dict first, then difflib close matches (n=3, cutoff=0.8)
+    when the term is not already in the dictionary; order-preserving
+    case-insensitive dedup."""
+    from difflib import get_close_matches
+
+    alternatives: list[str] = []
+    tl = term.lower()
+    if tl in KNOWN_VARIANTS:
+        alternatives.extend(KNOWN_VARIANTS[tl])
+    if dictionary and tl not in [d.lower() for d in dictionary]:
+        alternatives.extend(
+            get_close_matches(tl, [d.lower() for d in dictionary], n=3, cutoff=0.8)
+        )
+    seen: set[str] = set()
+    alternatives = [
+        x for x in alternatives if x.lower() not in seen and not seen.add(x.lower())
+    ]
+    return {
+        "alternatives": alternatives,
+        "decision": "multiple_variants" if alternatives else "raw_preserved",
+    }
+
+
+# ---------------------------------------------------------------------------
+# 11b. Name parsing + code lookup (xml_renderer_v2.py:653-676)
+# ---------------------------------------------------------------------------
+
+SNOMED_CODES = [
+    ("polyuria", "284121005"),
+    ("polydipsia", "267064002"),
+    ("anxiety", "48694002"),
+    ("hypoglycemia", "302866003"),
+    ("diabetes insipidus", "15771004"),
+]
+
+LOINC_CODES = [
+    ("glucose", "2345-7"),
+    ("24-hour urine volume", "3167-4"),
+    ("urine specific gravity", "2965-2"),
+]
+
+
+def parse_name(full_name: str) -> dict:
+    """Last token = family, rest = given (xml_renderer_v2.py:653-662)."""
+    parts = full_name.strip().split()
+    if len(parts) == 1:
+        return {"given": "", "family": parts[0]}
+    if len(parts) >= 2:
+        return {"given": " ".join(parts[:-1]), "family": parts[-1]}
+    return {"given": "", "family": full_name}
+
+
+def find_code(text: str, code_map: list[tuple[str, str]]) -> tuple | None:
+    """Ordered first-match substring lookup (xml_renderer_v2.py:664-676)."""
+    low = text.lower()
+    for key, code in code_map:
+        if key in low:
+            return (code, key.title())
+    return None
+
+
 # ---------------------------------------------------------------------------
 # 12. Excerpt enrichment (structuring_service.py:324-383)
 # ---------------------------------------------------------------------------
