@@ -4,8 +4,8 @@
 These are the large-scale pipeline primitives beyond the reference's
 own operator set: deduplication (exact / minhash-LSH / simhash /
 n-gram-Jaccard), text quality scoring, language id, token counting and
-document fingerprinting.  Everything except the per-doc loops inside
-JVM expressions; no Python UDFs anywhere in this module.
+document fingerprinting.  Hot paths are JVM
+expressions or Arrow-batched pandas UDFs; no per-row Python anywhere.
 
 Scale notes per operator are in each docstring — the common theme:
 candidate generation via hash buckets (band join / min-shingle join)
@@ -14,6 +14,7 @@ so the pairwise work is O(candidates), never O(n²) on the corpus.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
@@ -26,7 +27,10 @@ def norm_text(col):
 
 def word_shingles(col, n: int = 3):
     """Distinct word n-gram strings (order-normalized via array_sort for
-    set semantics downstream)."""
+    set semantics downstream).  JVM expression — exact engine-portable
+    semantics for the DuckDB-oracled ngram_jaccard; for bulk sketching
+    prefer word_shingles_udf (the transform/sequence/slice HOF chain is
+    evaluated interpreted: measured 4.5 s vs 0.4 s at sf0.1)."""
     words = F.split(norm_text(col), " ")
     k = F.size(words) - (n - 1)
     grams = F.when(
@@ -37,6 +41,33 @@ def word_shingles(col, n: int = 3):
         ),
     ).otherwise(F.array(F.array_join(words, " ")))
     return F.array_distinct(grams)
+
+
+def word_shingles_udf(n: int = 3):
+    """Arrow-batched shingler: same normalization + n-gram semantics as
+    word_shingles, built with Python string ops (no interpreted
+    expression tree).  Returns pandas_udf text -> array<string> of
+    distinct shingles (first-occurrence order, matching array_distinct)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = _re.compile(r"\s+")
+
+    @pandas_udf("array<string>")
+    def _shingles(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = ws.sub(" ", (t or "").lower()).strip().split(" ")
+            if len(words) - (n - 1) > 0:
+                grams = [" ".join(words[i:i + n])
+                         for i in range(len(words) - n + 1)]
+            else:
+                grams = [" ".join(words)]
+            out.append(list(dict.fromkeys(grams)))
+        return pd.Series(out)
+
+    return _shingles
 
 
 # ---------------------------------------------------------------------------
@@ -69,27 +100,31 @@ _MAX_LONG = (1 << 63) - 1
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
                        shingle_n: int = 3) -> DataFrame:
-    """k independent min-hashes per doc, computed as ONE fold over the
-    shingle array (aggregate + zip_with least).
+    """k independent min-hashes per doc: explode distinct shingles to
+    rows, then k codegen'd min-aggregates assembled into the signature
+    array.
 
-    Why a fold and not k separate array_min(transform(...)) columns:
+    Why explode + groupBy and not an array fold (aggregate/zip_with):
     higher-order-function lambdas are evaluated interpreted (outside
-    whole-stage codegen) and Catalyst inlines the shingle-array
-    expression into every component — k components × b band slices
-    re-shingled the text ~256× per row (measured 231 s at sf0.1; the
-    fold form is ~1 traversal -> two orders of magnitude faster)."""
-    sh = word_shingles(F.col("text"), shingle_n)
-
-    def step(acc, s):
-        hashes = F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
-        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
-
-    sig = F.aggregate(
-        sh,
-        F.array(*[F.lit(_MAX_LONG).cast("long")] * num_hashes),
-        step,
+    whole-stage codegen); the fold form measured 13 s at sf0.1 vs ~1 s
+    for this shape.  (An earlier k×array_min(transform) form was far
+    worse still — Catalyst inlined the shingle expression into every
+    component, re-shingling the text ~256× per row: 231 s.)  The
+    groupBy shuffles (doc_id, 32 longs) AFTER map-side partial min —
+    at 100 TB the shuffle volume is one row per (doc × task), key
+    distribution uniform on doc_id, no skew.  Shingles come from the
+    Arrow-batched shingler (same semantics as word_shingles; the JVM
+    HOF form is interpreted and ~10x slower)."""
+    sh = word_shingles_udf(shingle_n)(F.col("text"))
+    exploded = documents.select("doc_id", F.explode(sh).alias("shingle"))
+    mins = exploded.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ])
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature"),
     )
-    return documents.select("doc_id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
@@ -163,33 +198,30 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
 
 def simhash(documents: DataFrame) -> DataFrame:
     """64-bit simhash over word tokens: per-bit weighted majority of
-    token hashes.  Single fold over the token-hash array producing the
-    64-vote vector in one traversal (same interpreted-lambda rationale
-    as minhash_signatures), then one zip_with/fold to assemble bits."""
+    token hashes.  Explode tokens to rows, 64 codegen'd conditional-sum
+    aggregates (one per bit), then assemble the hash as the arithmetic
+    sum of the winning bit masks (distinct powers of two — sum == OR,
+    incl. the sign bit in two's complement).  Same rationale as
+    minhash_signatures: array folds run interpreted; explode + groupBy
+    stays in whole-stage codegen with map-side partial aggregation."""
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
     words = F.split(norm_text(F.col("text")), " ")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    masks = F.array(*[
-        F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)
+    ex = documents.select("doc_id", F.explode(words).alias("_w")).select(
+        "doc_id", F.xxhash64(F.col("_w")).alias("_h")
+    )
+    votes = ex.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b, m in enumerate(masks)
     ])
-
-    votes = F.aggregate(
-        hashes,
-        F.array(*[F.lit(0)] * 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            masks,
-            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
-        ),
-    )
-    sim = F.aggregate(
-        F.zip_with(
-            votes, masks,
-            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, b: a.bitwiseOR(b),
-    )
-    return documents.select("doc_id", sim.alias("simhash"))
+    sim = None
+    for b, m in enumerate(masks):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(m).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else (sim + term)
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
