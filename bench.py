@@ -121,10 +121,21 @@ def main():
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         # Same job, two parallelism levels, same input -> scaling
-        # efficiency (the in-sandbox analog of N vs 4N executors).
-        # The SF corpus is multiplied so compute dominates fixed
-        # scheduling overheads — the regime the 100 TB target runs in.
-        mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "20"))
+        # efficiency: the in-sandbox analog of N vs 4N executors.
+        # Methodology (see BENCH.md):
+        #  * corpus multiplied so compute dominates scheduling overheads
+        #    (the regime a 100 TB job runs in);
+        #  * each level runs in a FRESH JVM pinned (taskset) to a CPU
+        #    set of exactly its size — otherwise the local[8] job's
+        #    python workers + GC/shuffle threads spill onto the other
+        #    24 cores and inflate the small-N baseline, which a real
+        #    8-node cluster could not do;
+        #  * a pure-CPU spin probe measures the host's own 8->32
+        #    scaling ceiling (shared/virtualized cores ≠ 4x the
+        #    silicon), reported alongside for calibration.
+        import subprocess
+
+        mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "80"))
         big_path = os.path.join(REPO, ".bench_cache", f"transcripts_sf{SF}_x{mult}.parquet")
         if not os.path.exists(big_path):
             t = spark.read.parquet(TRANSCRIPTS_CACHE)
@@ -132,27 +143,54 @@ def main():
             big = t.select(copies, "*").withColumn(
                 "conv_id", F.concat_ws("#", "conv_id", F.col("copy").cast("string"))
             ).drop("copy")
-            big.repartition(64).write.mode("overwrite").parquet(big_path)
+            big.repartition(128).write.mode("overwrite").parquet(big_path)
         spark.stop()
-        scal = {}
-        n_big = None
-        for n in (8, 32):
-            s = get_spark(f"bench{n}", master=f"local[{n}]", shuffle_partitions=n)
-            t = s.read.parquet(big_path)
-            for _ in range(3):                            # JIT + worker warm-up
-                n_big, _ = _timed(_extraction_job, s, t)
-            reps = [_timed(_extraction_job, s, t)[1] for _ in range(3)]
-            scal[n] = min(reps)
-            s.stop()
-        eff = (scal[8] / scal[32]) / (32 / 8)
+
+        def probe(n, pin):
+            cmd = ["python", os.path.join(REPO, "tools", "scaling_probe.py"),
+                   str(n), big_path]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{n-1}"] + cmd
+            out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        r8 = probe(8, pin=True)
+        r32 = probe(32, pin=False)
+        eff = (r8["best_sec"] / r32["best_sec"]) / (32 / 8)
+
+        def spin(workers):
+            import multiprocessing as mp
+            q = mp.Queue()
+
+            def w(q):
+                import time as _t
+                end = _t.time() + 3.0
+                x = n_iter = 0
+                while _t.time() < end:
+                    for _ in range(10000):
+                        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+                    n_iter += 10000
+                q.put(n_iter)
+
+            ps = [mp.Process(target=w, args=(q,)) for _ in range(workers)]
+            [p.start() for p in ps]
+            total = sum(q.get() for _ in ps)
+            [p.join() for p in ps]
+            return total
+
+        ceiling = (spin(32) / spin(8)) / 4
         result["scaling"] = {
-            "n_turns": n_big,
-            "t_local8_sec": round(scal[8], 3),
-            "t_local32_sec": round(scal[32], 3),
-            "throughput_local8": round(n_big / scal[8], 1),
-            "throughput_local32": round(n_big / scal[32], 1),
-            "speedup": round(scal[8] / scal[32], 3),
+            "n_turns": r8["n_turns"],
+            "t_local8_sec": r8["best_sec"],
+            "t_local32_sec": r32["best_sec"],
+            "throughput_local8": r8["throughput_turns_per_sec"],
+            "throughput_local32": r32["throughput_turns_per_sec"],
+            "speedup": round(r8["best_sec"] / r32["best_sec"], 3),
             "efficiency": round(eff, 3),
+            "cpu_ceiling_8_to_32": round(ceiling, 3),
+            "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+            "times_local8": r8["times_sec"],
+            "times_local32": r32["times_sec"],
         }
 
     print(json.dumps(result))

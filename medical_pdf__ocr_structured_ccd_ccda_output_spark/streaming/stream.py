@@ -3,14 +3,21 @@
 The reference is batch-only (MAX_CONCURRENT_DOCUMENTS=1, no streaming
 ops — LLM_TECHNICAL_SPEC.md:711); this wrapper is the engine's own
 extension: the per-turn extraction stage is stateless, so it runs
-unchanged under readStream, and complete conversations are sessionized
-per micro-batch in foreachBatch (a conversation's turns are assumed to
-arrive within one batch window; cross-batch conversations would need
-applyInPandasWithState — left as the documented upgrade path).
+unchanged under readStream.  Sessionization has two streaming modes:
+
+* per-micro-batch (foreachBatch + the batch assign_visits) when a
+  conversation's turns arrive within one batch window;
+* cross-batch via ``stateful_sessionize`` (applyInPandasWithState):
+  per-conversation GroupState carries (started, boundary_count) so a
+  conversation spanning many micro-batches keeps one consistent
+  visit numbering — bit-identical to the batch W2 running sum as long
+  as turns arrive in turn_idx order across batches (within a batch
+  they are sorted).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, types as T
 
 TRANSCRIPT_SCHEMA = T.StructType([
@@ -56,4 +63,65 @@ def run_stream_to_parquet(spark: SparkSession, input_dir: str,
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+SESSIONIZE_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("visit_seq", T.IntegerType(), False),
+    T.StructField("visit_id", T.StringType(), False),
+])
+
+SESSIONIZE_STATE_SCHEMA = T.StructType([
+    T.StructField("started", T.BooleanType(), False),
+    T.StructField("boundary_count", T.IntegerType(), False),
+])
+
+
+def stateful_sessionize(extracted_stream: DataFrame) -> DataFrame:
+    """Cross-batch visit assignment (W2) as a custom stateful streaming
+    operator: groupBy(conv_id).applyInPandasWithState with per-
+    conversation state (started, boundary_count).
+
+    Replays chunking_service.py:44-103 exactly: a turn opens a new
+    visit when is_boundary, unless it is the first turn the
+    conversation has EVER produced (across all micro-batches).  Input
+    must carry (conv_id, turn_idx, is_boundary); batches are sorted by
+    turn_idx inside the group, cross-batch order is the stream's
+    arrival order (turn-ordered ingestion is the documented contract —
+    the same invariant the batch window's orderBy enforces)."""
+
+    def update(key, pdf_iter, state):
+        (conv_id,) = key
+        if state.exists:
+            started, b = state.get
+        else:
+            started, b = False, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("turn_idx")
+            seqs = []
+            for is_b in pdf["is_boundary"]:
+                if started and bool(is_b):
+                    b += 1
+                seqs.append(b + 1)
+                started = True
+            yield pd.DataFrame({
+                "conv_id": conv_id,
+                "turn_idx": pdf["turn_idx"].astype("int32"),
+                "visit_seq": pd.Series(seqs, index=pdf.index, dtype="int32"),
+                "visit_id": [f"visit_{s:03d}" for s in seqs],
+            })
+        state.update((started, b))
+
+    return (
+        extracted_stream
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSIONIZE_OUTPUT_SCHEMA,
+            stateStructType=SESSIONIZE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
     )

@@ -74,3 +74,70 @@ def test_streaming_extraction(spark, tmp_path):
     q2 = run_stream_to_parquet(spark, in_dir, out_dir, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n
+
+
+def test_stateful_sessionize_cross_batch(spark, tmp_path):
+    """A conversation split across two micro-batches must keep one
+    consistent visit numbering (state carries boundary_count), matching
+    the batch W2 running sum on the full data."""
+    import time
+
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.dates import (
+        is_visit_boundary_expr,
+    )
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.streaming.stream import (
+        TRANSCRIPT_SCHEMA,
+        stateful_sessionize,
+    )
+
+    def turn(conv, i, boundary):
+        text = ("Visit Date: 03/15/2024\nexam notes" if boundary
+                else f"follow-up notes line {i}")
+        return (conv, i, "user", text, None, None)
+
+    rows = [turn("c1", 1, False), turn("c1", 2, True), turn("c1", 3, False),
+            turn("c2", 1, True), turn("c2", 2, False)]
+    rows2 = [turn("c1", 4, True), turn("c1", 5, False), turn("c2", 3, True)]
+
+    in_dir = tmp_path / "sin"
+    in_dir.mkdir()
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(str(in_dir))
+    time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    spark.createDataFrame(rows2, TRANSCRIPT_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .withColumn("is_boundary", is_visit_boundary_expr(F.col("text")))
+        .select("conv_id", "turn_idx", "is_boundary")
+    )
+    out = stateful_sessionize(stream)
+    q = (
+        out.writeStream.format("memory").queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["visit_id"]
+        for r in spark.table("sess_out").collect()
+    }
+    # batch oracle over the full data
+    full = spark.createDataFrame(rows + rows2, TRANSCRIPT_SCHEMA).withColumn(
+        "is_boundary", is_visit_boundary_expr(F.col("text"))
+    )
+    exp = {
+        (r["conv_id"], r["turn_idx"]): r["visit_id"]
+        for r in assign_visits(full).collect()
+    }
+    assert got == exp
+    # c1: turn1 opens visit_001 (boundary on first-ever turn ignored on
+    # turn... none), boundary at 2 -> 002, boundary at 4 (batch 2) -> 003
+    assert got[("c1", 4)] == "visit_003"
+    assert got[("c2", 3)] == "visit_002"
