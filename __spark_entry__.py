@@ -14,10 +14,15 @@ identical in both engines (divisions of exact ints, sequential-fold dot
 products) or decimal-exact sums cast to double at the end — never
 engine-rounded floats.
 
-Non-SQL-expressible ops (minhash/simhash/LSH/fingerprints/full
-transcript pipeline/multimodal) appear in queries() without an
-oracle_sql entry -> the driver records the weaker rows-only check;
-their real correctness gates are the pytest oracles.
+Non-SQL-expressible ops (xxhash64-based minhash/simhash/LSH/
+fingerprints, difflib-based variant lookup and fuzzy merge,
+multimodal stubs) appear in queries() without an oracle_sql entry ->
+the driver records the weaker rows-only check; their real correctness
+gates are the pytest oracles.  The full extraction pipeline
+(transcript_pipeline) and the CCD XML sink ARE fully oracled: the
+composed DuckDB SQL replays clean -> confidence (incl. HALF_EVEN
+2-decimal rounding via exact integer arithmetic) -> uncertainty/review
+flags -> sessionize -> rollup -> XML string, value-hash-equal.
 """
 
 from __future__ import annotations
@@ -46,12 +51,45 @@ from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import (
     multimodal,
     similarity,
 )
+from medical_pdf__ocr_structured_ccd_ccda_output_spark.renderers.xml import (
+    HL7_NAMESPACE,
+    ROOT_OID,
+)
 
 NL = "\n"
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> transcripts(conv_id, turn_idx, text, ts), with a
+    'Visit Date:' boundary line injected on every 7th doc so the
+    sessionize / visit-date paths are exercised on data that otherwise
+    never matches the medical boundary regexes.  The injection is a
+    deterministic column expression replicated verbatim in the DuckDB
+    oracles (_INJECT_SQL)."""
+    d = _read(spark, sf, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("Visit Date: 03/15/2024\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    return d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        injected.alias("text"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+
+
+_INJECT_SQL = """
+  SELECT source, CAST(doc_id AS INT) AS doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN 'Visit Date: 03/15/2024' || chr(10) || text
+         ELSE text END AS text
+  FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -462,6 +500,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["first_wins_merge"] = q_first_wins_merge
 
+    def q_entity_exact_dedup(spark, sf):
+        """A6/A10/A11 exact-tier merge through operators.dedup.
+        exact_dedup_sql (pure SQL aggregates — the scale path): three
+        deterministic occurrence variants per part name (case /
+        trailing-whitespace variants sharing one normalized key; dose
+        present only on the 2nd occurrence exercises field completion)."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import dedup
+
+        p = _read(spark, sf, "part")
+        occ = p.select(
+            F.concat(F.lit("conv_"), (F.col("p_partkey") % 50).cast("string")).alias("conv_id"),
+            F.lit("visit_001").alias("visit_id"),
+            "p_partkey", "p_name",
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(1) + F.col("p_partkey") % 3).cast("int"))
+            ).alias("occ"),
+        )
+        entities = occ.select(
+            "conv_id", "visit_id",
+            F.when(F.col("occ") == 2, F.upper("p_name"))
+            .when(F.col("occ") == 3, F.concat(F.col("p_name"), F.lit("  ")))
+            .otherwise(F.col("p_name")).alias("name"),
+            F.when(F.col("occ") == 2, F.lit("10mg")).alias("dose"),
+            F.lit(None).cast("string").alias("frequency"),
+            F.lit(None).cast("string").alias("route"),
+            (F.col("p_partkey") * 10 + F.col("occ")).cast("int").alias("source_page"),
+        )
+        return dedup.exact_dedup_sql(entities, "medication")
+    q["entity_exact_dedup"] = q_entity_exact_dedup
+
+    def q_dedup_audit_rollup(spark, sf):
+        """A12/A13: the dedup decision log emitted by the grouped merge
+        pass, rolled up by (action, reason).  Groups are exact-only
+        (one part's case/space variants per group) so the greedy loop's
+        log is SQL-predictable: n-1 merge decisions per n-variant group."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import dedup
+
+        p = _read(spark, sf, "part")
+        occ = p.select(
+            F.concat(F.lit("c"), F.col("p_partkey").cast("string")).alias("conv_id"),
+            F.lit("visit_001").alias("visit_id"),
+            "p_partkey", "p_name",
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(1) + F.col("p_partkey") % 3).cast("int"))
+            ).alias("occ"),
+        )
+        entities = occ.select(
+            "conv_id", "visit_id",
+            F.when(F.col("occ") == 2, F.upper("p_name"))
+            .when(F.col("occ") == 3, F.concat(F.col("p_name"), F.lit("  ")))
+            .otherwise(F.col("p_name")).alias("name"),
+            F.lit(None).cast("string").alias("dose"),
+            F.lit(None).cast("string").alias("frequency"),
+            F.lit(None).cast("string").alias("route"),
+            F.col("occ").cast("int").alias("source_page"),
+        )
+        combined = dedup.dedup_entities(entities, "medication")
+        _, log = dedup.split_dedup_output(combined)
+        return log.groupBy("action", "reason").agg(
+            F.count("*").alias("n_decisions"),
+            F.countDistinct("conv_id").alias("n_groups"),
+        )
+    q["dedup_audit_rollup"] = q_dedup_audit_rollup
+
+    def q_fuzzy_merge(spark, sf):
+        """A8 fuzzy-tier greedy merge (applyInPandas + difflib
+        SequenceMatcher >= 0.85, deduplication_service.py:123-195) —
+        rows-only: Ratcliff-Obershelp is not SQL-expressible; semantics
+        are pytest-oracled against rules.merge_medications."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import dedup
+
+        p = _read(spark, sf, "part")
+        occ = p.select(
+            F.concat(F.lit("conv_"), (F.col("p_partkey") % 20).cast("string")).alias("conv_id"),
+            F.lit("visit_001").alias("visit_id"),
+            "p_partkey", "p_name",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("occ"),
+        )
+        entities = occ.select(
+            "conv_id", "visit_id",
+            F.when(F.col("occ") == 2, F.concat(F.col("p_name"), F.lit(" xl")))
+            .otherwise(F.col("p_name")).alias("name"),
+            F.when(F.col("occ") == 2, F.lit("5mg")).alias("dose"),
+            F.lit(None).cast("string").alias("frequency"),
+            F.lit(None).cast("string").alias("route"),
+            (F.col("p_partkey") * 10 + F.col("occ")).cast("int").alias("source_page"),
+        )
+        combined = dedup.dedup_entities(entities, "medication")
+        ent, _ = dedup.split_dedup_output(combined)
+        return ent.select(
+            "conv_id", "visit_id", "name", "dose",
+            F.col("source_pages").cast("string").alias("source_pages"),
+            "merge_confidence",
+            F.col("alternative_representations").cast("string").alias("alts"),
+        )
+    q["fuzzy_merge"] = q_fuzzy_merge
+
     def q_user_stats(spark, sf):
         ev = _read(spark, sf, "events")
         return ev.groupBy("user_id").agg(
@@ -542,10 +677,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["variant_lookup"] = q_variant_lookup
 
     def q_ccd_xml(spark, sf):
-        """S8 CCD/CCDA XML sink over the fixture transcripts pipeline
-        (xml_renderer.py:34-69 analog); rows-only — string equality is
-        pytest-checked."""
-        from medical_pdf__ocr_structured_ccd_ccda_output_spark import fixtures
+        """S8 CCD/CCDA XML sink (xml_renderer.py:34-69 analog), fully
+        DuckDB-oracled: documents-as-transcripts with injected boundary
+        lines -> extract -> sessionize -> visit_rollup -> XML string.
+        confidence_agg='min' keeps per-visit confidence at exact
+        2-decimal values so the %.4f rendering is engine-portable (avg
+        of doubles is summation-order-sensitive)."""
         from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.extract import extract_turns
         from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import (
             assign_visits,
@@ -553,9 +690,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         from medical_pdf__ocr_structured_ccd_ccda_output_spark.renderers.xml import render_ccd_xml
 
-        df = fixtures.transcripts_spark_df(spark, 20, seed=42)
-        visits = visit_rollup(assign_visits(extract_turns(df, with_sections=False)))
-        return render_ccd_xml(visits).select("conv_id", F.length("ccd_xml").alias("xml_len"))
+        visits = visit_rollup(
+            assign_visits(extract_turns(_docs_as_transcripts(spark, sf),
+                                        with_sections=False)),
+            confidence_agg="min",
+        )
+        return render_ccd_xml(visits).select(
+            F.col("conv_id").alias("source"), "ccd_xml"
+        )
     q["ccd_xml"] = q_ccd_xml
 
     def q_minhash_pairs(spark, sf):
@@ -584,13 +726,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh"] = q_ann_lsh
 
     def q_transcript_pipeline(spark, sf):
-        from medical_pdf__ocr_structured_ccd_ccda_output_spark import fixtures
+        """Flagship end-to-end slice, fully DuckDB-oracled: clean ->
+        confidence (bround parity) -> uncertainty/review flags ->
+        boundary -> sessionize, over documents-as-transcripts.  Boundary
+        lines injected on every 7th doc exercise real visit splits."""
         from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.extract import extract_turns
         from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import assign_visits
-        df = fixtures.transcripts_spark_df(spark, 40, seed=42)
-        return assign_visits(extract_turns(df, with_sections=False)).select(
-            "conv_id", "turn_idx", "visit_id", "text_clean", "confidence",
-            "manual_review_required",
+
+        out = assign_visits(
+            extract_turns(_docs_as_transcripts(spark, sf), with_sections=False)
+        )
+        return out.select(
+            F.col("conv_id").alias("source"),
+            F.col("turn_idx").alias("doc_id"),
+            "visit_id", "text_clean", "confidence", "manual_review_required",
         )
     q["transcript_pipeline"] = q_transcript_pipeline
 
@@ -611,9 +760,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _BOILER_RE_SQL = rules.BOILERPLATE_COMBINED.replace("'", "''")
 _BOUNDARY_RE_SQL = rules.VISIT_BOUNDARY_PATTERN.replace("'", "''")
 
-_CONFIDENCE_SQL_BODY = """
+def _confidence_sql(src: str = "documents", keys: str = "doc_id",
+                    text: str = "text", rounded: bool = False,
+                    out: str = "confidence_raw") -> str:
+    """SQL for the F1 confidence estimator over {src}.{text}, keyed by
+    {keys}.  rounded=True applies HALF_EVEN 2-decimal rounding via exact
+    integer arithmetic on the 10-decimal approximation of the double —
+    the DuckDB analog of Spark's bround (BigDecimal shortest-repr
+    HALF_EVEN); verified equal on the synthetic corpus."""
+    body = _CONFIDENCE_SQL_TMPL.format(src=src, keys=keys, text=text)
+    if not rounded:
+        return f"{body}\nSELECT {keys}, craw AS {out} FROM rawc"
+    return f"""{body}
+, r10 AS (
+  SELECT {keys}, CAST(round(craw * 10000000000) AS BIGINT) AS s10 FROM rawc
+)
+SELECT {keys},
+  CAST(CASE WHEN s10 % 100000000 > 50000000 THEN s10 // 100000000 + 1
+            WHEN s10 % 100000000 < 50000000 THEN s10 // 100000000
+            WHEN (s10 // 100000000) % 2 = 0 THEN s10 // 100000000
+            ELSE s10 // 100000000 + 1 END AS DOUBLE) / 100 AS {out}
+FROM r10"""
+
+
+_CONFIDENCE_SQL_TMPL = """
 WITH feats AS (
-  SELECT doc_id, text,
+  SELECT {keys}, {text} AS text,
     CAST((length(text) - length(replace(text, '[UNCLEAR', ''))) / 8 AS INT) AS unclear,
     (CASE WHEN contains(lower(text), 'unclear') THEN 1 ELSE 0 END
      + CASE WHEN contains(lower(text), 'illegible') THEN 1 ELSE 0 END
@@ -629,12 +801,11 @@ WITH feats AS (
     len(list_filter(regexp_split_to_array(text, '\\s+'),
         w -> len(w) >= 2 AND len(w) <= 5
              AND regexp_matches(w, '^[^a-z]*[A-Z][^a-z]*$'))) AS abbrevs,
-    (contains(lower(text), 'blocked') OR contains(lower(text), 'safety filter')) AS blocked,
-    contains(text, '[UNCLEAR') AS has_unclear
-  FROM documents
+    (contains(lower({text}), 'blocked') OR contains(lower({text}), 'safety filter')) AS blocked,
+    contains({text}, '[UNCLEAR') AS has_unclear
+  FROM {src}
 ), steps AS (
-  SELECT doc_id, text, unclear, hw, ambiguous, total, newlines, abbrevs, blocked, has_unclear,
-    CASE WHEN unclear > 0 THEN 0.70 - least(0.40, unclear * 0.15) ELSE 0.70 END AS c1
+  SELECT *, CASE WHEN unclear > 0 THEN 0.70 - least(0.40, unclear * 0.15) ELSE 0.70 END AS c1
   FROM feats
 ), s2 AS (
   SELECT *, CASE WHEN hw > 0 THEN c1 - least(0.15, hw * 0.05) ELSE c1 END AS c2 FROM steps
@@ -648,26 +819,30 @@ WITH feats AS (
   SELECT *, CASE WHEN blocked THEN 0.15 ELSE c5 END AS c6 FROM s5
 ), s7 AS (
   SELECT *, CASE WHEN abbrevs > 5 THEN c6 - 0.05 ELSE c6 END AS c7 FROM s6
-)
-SELECT doc_id,
-  CASE WHEN text IS NULL OR length(text) < 10 THEN 0.0
-       ELSE least(CASE WHEN has_unclear THEN 0.75 ELSE 0.85 END,
-                  greatest(0.15, c7)) END AS confidence_raw
-FROM s7
-"""
+), rawc AS (
+  SELECT {keys},
+    CASE WHEN text IS NULL OR length(text) < 10 THEN 0.0
+         ELSE least(CASE WHEN has_unclear THEN 0.75 ELSE 0.85 END,
+                    greatest(0.15, c7)) END AS craw
+  FROM s7
+)"""
 
-_CLEAN_SQL = f"""
+def _clean_sql(src: str = "documents", keys: str = "doc_id",
+               text: str = "text", out: str = "text_clean") -> str:
+    """SQL for the boilerplate-strip extractor (rules.clean_text) over
+    {src}.{text}, keyed by {keys}."""
+    return f"""
 WITH kept AS (
-  SELECT doc_id,
+  SELECT {keys},
     array_to_string(
       list_transform(
-        list_filter(string_split(text, chr(10)),
+        list_filter(string_split({text}, chr(10)),
                     l -> NOT regexp_matches(l, '{_BOILER_RE_SQL}')),
         l -> regexp_replace(l, '\\s+$', '', 'g')),
       chr(10)) AS joined
-  FROM documents
+  FROM {src}
 ), collapsed AS (
-  SELECT doc_id,
+  SELECT {keys},
     regexp_replace(
       regexp_replace(
         regexp_replace(joined, '\\n{{3,}}', chr(10) || chr(10), 'g'),
@@ -675,37 +850,51 @@ WITH kept AS (
       '\\n+$', '', 'g') AS stripped
   FROM kept
 )
-SELECT doc_id,
+SELECT {keys},
   CASE WHEN NOT regexp_matches(stripped, '\\S')
        THEN '{rules.EMPTY_EXTRACTION_MARKER.replace("'", "''")}'
-       ELSE stripped END AS text_clean
+       ELSE stripped END AS {out}
 FROM collapsed
 """
 
-_DATE_SQL = r"""
-WITH m AS (
-  SELECT doc_id,
-    regexp_extract(text, '(\d{1,2})[/-](\d{1,2})[/-](\d{4})', 1) AS a1,
-    regexp_extract(text, '(\d{1,2})[/-](\d{1,2})[/-](\d{4})', 2) AS a2,
-    regexp_extract(text, '(\d{1,2})[/-](\d{1,2})[/-](\d{4})', 3) AS a3,
-    regexp_extract(text, '(\d{4})[/-](\d{1,2})[/-](\d{1,2})', 1) AS b1,
-    regexp_extract(text, '(\d{4})[/-](\d{1,2})[/-](\d{1,2})', 2) AS b2,
-    regexp_extract(text, '(\d{4})[/-](\d{1,2})[/-](\d{1,2})', 3) AS b3,
-    regexp_extract(text, '(\d{1,2})[/-](\d{1,2})[/-](\d{2})', 1) AS c1,
-    regexp_extract(text, '(\d{1,2})[/-](\d{1,2})[/-](\d{2})', 2) AS c2,
-    regexp_extract(text, '(\d{1,2})[/-](\d{1,2})[/-](\d{2})', 3) AS c3
-  FROM documents
-)
-SELECT doc_id,
-  strftime(coalesce(
+
+_CLEAN_SQL = _clean_sql()
+
+def _date_sql(src: str = "documents", keys: str = "doc_id",
+              text: str = "text", fmt: bool = True,
+              out: str = "extracted_date") -> str:
+    """SQL for rules.extract_date over {src}.{text}: three patterns in
+    priority order, first match per pattern, invalid parse falls through.
+    fmt=True emits 'YYYY-MM-DD' strings, fmt=False a DATE column."""
+    date_expr = r"""coalesce(
     CASE WHEN a1 <> '' THEN CAST(try_strptime(a3 || '-' || a1 || '-' || a2, '%Y-%m-%d') AS DATE) END,
     CASE WHEN b1 <> '' THEN CAST(try_strptime(b1 || '-' || b2 || '-' || b3, '%Y-%m-%d') AS DATE) END,
     CASE WHEN c1 <> '' THEN CAST(try_strptime(
       (CASE WHEN CAST(c3 AS INT) < 50 THEN '20' || c3 ELSE '19' || c3 END)
       || '-' || c1 || '-' || c2, '%Y-%m-%d') AS DATE) END
-  ), '%Y-%m-%d') AS extracted_date
+  )"""
+    sel = (f"strftime({date_expr}, '%Y-%m-%d')" if fmt else date_expr)
+    pats = [
+        r"(\d{1,2})[/-](\d{1,2})[/-](\d{4})",
+        r"(\d{4})[/-](\d{1,2})[/-](\d{1,2})",
+        r"(\d{1,2})[/-](\d{1,2})[/-](\d{2})",
+    ]
+    cols = ",\n    ".join(
+        f"regexp_extract({text}, '{p}', {g}) AS {pre}{g}"
+        for p, pre in zip(pats, "abc") for g in (1, 2, 3)
+    )
+    return f"""
+WITH m AS (
+  SELECT {keys},
+    {cols}
+  FROM {src}
+)
+SELECT {keys}, {sel} AS {out}
 FROM m
 """
+
+
+_DATE_SQL = _date_sql()
 
 
 def _section_match_sql(line_expr: str) -> str:
@@ -880,6 +1069,153 @@ LEFT JOIN ex e ON e.conv_id = p.conv_id AND e.needle = p.needle
 """
 
 
+_ABBREV_LIST_SQL = "[" + ", ".join(
+    f"'{a}'" for a, _ in rules.AMBIGUOUS_ABBREVIATIONS) + "]"
+_HW_IND_LIST_SQL = "[" + ", ".join(
+    f"'{i}'" for i in rules.HANDWRITING_TOKEN_INDICATORS) + "]"
+
+# W2 sessionize over the cleaned text (shared by pipeline + ccd_xml):
+# boundary regex on text_clean, running sum after the first turn.
+_SESSIONIZE_CLEANED_CTE = f"""
+seq AS (
+  SELECT source, doc_id,
+    1 + SUM(CASE WHEN is_boundary AND rn > 1 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS visit_seq
+  FROM (
+    SELECT source, doc_id,
+      regexp_matches(text_clean, '{_BOUNDARY_RE_SQL}') AS is_boundary,
+      row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM cleaned)
+)"""
+
+_PIPELINE_SQL = f"""
+WITH inp AS ({_INJECT_SQL}),
+cleaned AS ({_clean_sql("inp", "source, doc_id")}),
+conf AS ({_confidence_sql("cleaned", "source, doc_id", "text_clean",
+                          rounded=True, out="confidence")}),
+tok AS (
+  SELECT source, doc_id,
+    len(list_filter(string_split(text_clean, chr(10)),
+        l -> contains(l, '[UNCLEAR'))) AS unclear_cnt,
+    coalesce(CAST(list_sum(list_transform(string_split(text_clean, chr(10)), l ->
+      len(list_filter({_ABBREV_LIST_SQL},
+                      a -> contains(' ' || l || ' ', ' ' || a || ' '))))) AS BIGINT), 0) AS abbrev_cnt,
+    coalesce(CAST(list_sum(list_transform(string_split(text_clean, chr(10)), l ->
+      len(list_filter({_HW_IND_LIST_SQL},
+                      i -> contains(lower(l), i))))) AS BIGINT), 0) AS hw_cnt
+  FROM cleaned
+),
+{_SESSIONIZE_CLEANED_CTE}
+SELECT c.source, c.doc_id,
+  printf('visit_%03d', CAST(s.visit_seq AS INT)) AS visit_id,
+  c.text_clean, cf.confidence,
+  (cf.confidence < 0.60
+   OR (t.unclear_cnt + t.abbrev_cnt + t.hw_cnt) > 5
+   OR t.unclear_cnt > 2) AS manual_review_required
+FROM cleaned c
+JOIN conf cf ON cf.source = c.source AND cf.doc_id = c.doc_id
+JOIN tok t ON t.source = c.source AND t.doc_id = c.doc_id
+JOIN seq s ON s.source = c.source AND s.doc_id = c.doc_id
+"""
+
+_XML_COMPONENT_FMT = (
+    '    <component>\n'
+    '      <section>\n'
+    '        <id extension="%s"/>\n'
+    '        <effectiveTime value="%s"/>\n'
+    '        <title>Visit %s</title>\n'
+    '        <text mediaType="text/plain">%s</text>\n'
+    '        <entry><observation><value unit="confidence">%.4f</value></observation></entry>\n'
+    '      </section>\n'
+    '    </component>'
+)
+_XML_HEADER_FMT = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<ClinicalDocument xmlns="%s">\n'
+    '  <realmCode code="US"/>\n'
+    '  <typeId root="%s" extension="POCD_HD000040"/>\n'
+    '  <id root="2.16.840.1.113883.19" extension="doc_%s"/>\n'
+    '  <title>Medical Record Summary (OCR-Processed)</title>\n'
+    '  <confidentialityCode code="N" codeSystem="2.16.840.1.113883.5.25"/>\n'
+    '  <recordTarget><patientRole><id nullFlavor="UNK"/>'
+    '<patient><name nullFlavor="UNK"/></patient></patientRole></recordTarget>\n'
+    '  <component><structuredBody>\n'
+    '%s\n'
+    '  </structuredBody></component>\n'
+    '</ClinicalDocument>'
+)
+
+_CCD_XML_SQL = f"""
+WITH inp AS ({_INJECT_SQL}),
+cleaned AS ({_clean_sql("inp", "source, doc_id")}),
+conf AS ({_confidence_sql("cleaned", "source, doc_id", "text_clean",
+                          rounded=True, out="confidence")}),
+dates AS ({_date_sql("cleaned", "source, doc_id", "text_clean",
+                     fmt=False, out="extracted_date")}),
+{_SESSIONIZE_CLEANED_CTE},
+turns AS (
+  SELECT c.source, c.doc_id, c.text_clean, cf.confidence, d.extracted_date,
+    printf('visit_%03d', CAST(s.visit_seq AS INT)) AS visit_id
+  FROM cleaned c
+  JOIN conf cf ON cf.source = c.source AND cf.doc_id = c.doc_id
+  JOIN dates d ON d.source = c.source AND d.doc_id = c.doc_id
+  JOIN seq s ON s.source = c.source AND s.doc_id = c.doc_id
+),
+visits AS (
+  SELECT source, visit_id,
+    MIN(confidence) AS confidence,
+    arg_min(extracted_date, doc_id) FILTER (WHERE extracted_date IS NOT NULL) AS visit_date,
+    string_agg(printf('\n--- Page %d ---\n%s\n', doc_id, text_clean),
+               '' ORDER BY doc_id) AS raw_text
+  FROM turns GROUP BY source, visit_id
+),
+comps AS (
+  SELECT source, visit_id,
+    printf('{_XML_COMPONENT_FMT}',
+      visit_id,
+      coalesce(strftime(visit_date, '%Y%m%d'), 'UNK'),
+      visit_id,
+      replace(replace(replace(replace(raw_text,
+        '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
+      confidence) AS comp
+  FROM visits
+)
+SELECT source,
+  printf('{_XML_HEADER_FMT}',
+    '{HL7_NAMESPACE}', '{ROOT_OID}', source,
+    string_agg(comp, chr(10) ORDER BY visit_id)) AS ccd_xml
+FROM comps
+GROUP BY source
+"""
+
+_ENTITY_DEDUP_SQL = r"""
+WITH occ AS (
+  SELECT 'conv_' || CAST(p_partkey % 50 AS VARCHAR) AS conv_id,
+         'visit_001' AS visit_id, p_partkey, p_name,
+         unnest(range(1, 2 + CAST(p_partkey % 3 AS INT))) AS occ
+  FROM part
+), ent AS (
+  SELECT conv_id, visit_id,
+    CASE WHEN occ = 2 THEN upper(p_name)
+         WHEN occ = 3 THEN p_name || '  '
+         ELSE p_name END AS name,
+    CASE WHEN occ = 2 THEN '10mg' END AS dose,
+    CAST(p_partkey * 10 + occ AS INT) AS source_page
+  FROM occ
+)
+SELECT conv_id, visit_id,
+  min_by(name, source_page) AS name,
+  min_by(dose, source_page) FILTER (WHERE dose IS NOT NULL) AS dose,
+  CAST(NULL AS VARCHAR) AS frequency,
+  CAST(NULL AS VARCHAR) AS route,
+  list_sort(list_distinct(list(source_page))) AS source_pages,
+  CASE WHEN COUNT(DISTINCT source_page) > 1 THEN CAST(0.95 AS DOUBLE) END AS merge_confidence,
+  COUNT(*) AS occurrences
+FROM ent
+GROUP BY conv_id, visit_id, trim(regexp_replace(lower(name), '\s+', ' ', 'g'))
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok_re = corpus.TOKEN_REGEX.replace("'", "''")
     return {
@@ -916,6 +1252,16 @@ def oracle_sql() -> dict[str, str]:
                  LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
         """,
         "excerpt_join": _EXCERPT_JOIN_SQL,
+        "transcript_pipeline": _PIPELINE_SQL,
+        "ccd_xml": _CCD_XML_SQL,
+        "entity_exact_dedup": _ENTITY_DEDUP_SQL,
+        "dedup_audit_rollup": """
+            SELECT 'merged' AS action, 'exact_name_match' AS reason,
+              CAST(SUM(p_partkey % 3) AS BIGINT) AS n_decisions,
+              COUNT(CASE WHEN p_partkey % 3 > 0 THEN 1 END) AS n_groups
+            FROM part
+            HAVING CAST(SUM(p_partkey % 3) AS BIGINT) > 0
+        """,
         "promo_revenue": """
             WITH j AS (
               SELECT CAST(l_extendedprice AS DECIMAL(18,4))
@@ -973,7 +1319,7 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "mark_unclear": rf"""
-            WITH conf AS ({_CONFIDENCE_SQL_BODY}),
+            WITH conf AS ({_confidence_sql()}),
             g AS (
               SELECT doc_id,
                 (regexp_split_to_array(trim(text), '\s+'))[1] AS guess
@@ -1002,7 +1348,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY 1, 2
         """,
         "clean_extract": _CLEAN_SQL,
-        "confidence": _CONFIDENCE_SQL_BODY,
+        "confidence": _confidence_sql(),
         "layout_hints": """
             SELECT doc_id,
               (contains(text, '|') OR contains(text, '      ')) AS has_tables,

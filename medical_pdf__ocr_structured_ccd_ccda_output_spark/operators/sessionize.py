@@ -109,7 +109,8 @@ def assign_visits_skew_aware(extracted: DataFrame,
 
 
 def visit_rollup(turns_with_visits: DataFrame,
-                 include_raw_text: bool = True) -> DataFrame:
+                 include_raw_text: bool = True,
+                 confidence_agg: str = "avg") -> DataFrame:
     """Per-visit chunk metadata (chunking_service.py:158-207 analog).
 
     Single groupBy with map-side partial aggregation.  visit_date is the
@@ -117,6 +118,12 @@ def visit_rollup(turns_with_visits: DataFrame,
     no second window shuffle).  raw_text concatenation is optional: at
     10^8-turn scale collect_list per visit is the one aggregate that
     cannot stream; disable it and keep the turn-level table instead.
+
+    confidence_agg: 'avg' (reference semantics, chunking_service.py:
+    183-207) or 'min' — min is order-independent and keeps the exact
+    2-decimal per-turn values, so downstream renderings of it are
+    bit-identical across engines (used by the DuckDB-oracled ccd_xml
+    contract query; avg of doubles is summation-order-sensitive).
     """
     frag = F.format_string(
         "\n--- Page %d ---\n%s\n", F.col("turn_idx"), F.col("text_clean")
@@ -131,7 +138,8 @@ def visit_rollup(turns_with_visits: DataFrame,
                 F.struct("turn_idx", "extracted_date"),
             )
         )["extracted_date"].alias("visit_date"),
-        F.avg("confidence").alias("confidence"),
+        (F.min("confidence") if confidence_agg == "min"
+         else F.avg("confidence")).alias("confidence"),
     ]
     if include_raw_text:
         aggs.append(
