@@ -707,6 +707,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["minhash_lsh_pairs"] = q_minhash_pairs
 
+    def q_minhash_md5(spark, sf):
+        """Same minhash-LSH algorithm with the engine-portable md5 hash
+        family (lexicographic min over hex digests) — fully
+        DuckDB-oracled; the xxhash64 twin above is the production/bench
+        path (rows-only)."""
+        return corpus.minhash_lsh_pairs(
+            _read(spark, sf, "documents"), num_hashes=16, bands=4,
+            jaccard_threshold=0.5, hash_fn="md5",
+        )
+    q["minhash_lsh_md5"] = q_minhash_md5
+
+    def q_simhash_md5(spark, sf):
+        """Simhash near-dups with md5-derived bit votes (bit b = bit
+        3-b%4 of hex digit b//4) — fully DuckDB-oracled twin of
+        simhash_near_dups."""
+        return corpus.simhash_near_dups(
+            _read(spark, sf, "documents"), max_hamming=3, hash_fn="md5",
+        )
+    q["simhash_md5"] = q_simhash_md5
+
+    def q_fingerprints_md5(spark, sf):
+        """Winnowing fingerprints over md5 k-gram hashes — fully
+        DuckDB-oracled twin of fingerprints; emits the sorted
+        fingerprint set as a joined string for value-hash comparison."""
+        return corpus.fingerprints(
+            _read(spark, sf, "documents"), hash_fn="md5",
+        ).select("doc_id", F.array_join("fingerprints", ",").alias("fps"))
+    q["fingerprints_md5"] = q_fingerprints_md5
+
     def q_simhash_dups(spark, sf):
         return corpus.simhash_near_dups(_read(spark, sf, "documents"), max_hamming=3)
     q["simhash_near_dups"] = q_simhash_dups
@@ -724,6 +753,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return similarity.lsh_topk(emb, queries_df, k=5, n_planes=6, n_tables=12)
     q["ann_lsh"] = q_ann_lsh
+
+    def q_ann_lsh_md5(spark, sf):
+        """Engine-portable LSH ANN twin (md5-derived +-1 hyperplanes,
+        sequential-fold projections) — fully DuckDB-oracled; ann_lsh
+        above is the production path (Gaussian planes, Arrow matmul)."""
+        emb = _read(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.lsh_topk_md5(emb, queries_df, k=5, n_planes=6,
+                                       n_tables=4, dim=64)
+    q["ann_lsh_md5"] = q_ann_lsh_md5
 
     def q_transcript_pipeline(spark, sf):
         """Flagship end-to-end slice, fully DuckDB-oracled: clean ->
@@ -1188,6 +1229,154 @@ FROM comps
 GROUP BY source
 """
 
+# normalized word list per doc (shared by the md5 sketch oracles)
+_WORDS_CTE = r"""
+words AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+)"""
+
+
+def _shingle_cte(n: int, out: str = "shingles") -> str:
+    """Distinct word n-grams per doc (word_shingles semantics)."""
+    return f"""sh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(words) - {n - 1} > 0
+           THEN list_transform(range(1, len(words) - {n - 2}),
+                i -> array_to_string(words[i:i+{n - 1}], ' '))
+           ELSE [array_to_string(words, ' ')] END) AS {out}
+  FROM words
+)"""
+
+
+_MINHASH_MD5_SQL = f"""
+WITH {_WORDS_CTE},
+{_shingle_cte(3)},
+sig AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), i ->
+      list_min(list_transform(shingles,
+        s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, sig, b,
+    md5(array_to_string(sig[b*4+1 : (b+1)*4], ',')) AS bucket
+  FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.sig AS sig_a, b2.sig AS sig_b
+  FROM banded a JOIN banded b2
+    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+), est AS (
+  SELECT doc_a, doc_b,
+    CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16
+      AS est_jaccard
+  FROM cand
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+def _simhash_md5_sql(max_hamming: int = 3) -> str:
+    votes = ",\n    ".join(
+        "SUM(CASE WHEN (((instr('0123456789abcdef', substr(m, {hx}, 1)) - 1) >> {sh}) & 1) = 1"
+        " THEN 1 ELSE -1 END) AS v{b}".format(hx=1 + b // 4, sh=3 - b % 4, b=b)
+        for b in range(64)
+    )
+    bl = ", ".join(f"CASE WHEN v{b} > 0 THEN 1 ELSE 0 END" for b in range(64))
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    ham = "len(list_filter(range(1, 65), i -> bl_a[i] <> bl_b[i]))"
+    return f"""
+WITH {_WORDS_CTE},
+toks AS (
+  SELECT doc_id, md5(w) AS m
+  FROM words, LATERAL (SELECT unnest(words) AS w)
+), votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM toks GROUP BY doc_id
+), bits AS (
+  SELECT doc_id, [{bl}] AS bl FROM votes
+), blocks AS (
+  SELECT doc_id, bl, blk,
+    array_to_string(bl[blk*{width}+1 : (blk+1)*{width}], '') AS val
+  FROM bits, LATERAL (SELECT unnest(range(0, {n_blocks})) AS blk)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.bl AS bl_a, b.bl AS bl_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
+FROM pairs WHERE {ham} <= {max_hamming}
+"""
+
+
+_FINGERPRINTS_MD5_SQL = f"""
+WITH {_WORDS_CTE},
+{_shingle_cte(5, out="grams")},
+h AS (
+  SELECT doc_id, list_sort(list_transform(grams, g -> md5(g))) AS hs FROM sh
+)
+SELECT doc_id,
+  array_to_string(
+    list_sort(list_distinct(
+      CASE WHEN len(hs) - 3 > 0
+           THEN list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))
+           ELSE [list_min(hs)] END)), ',') AS fps
+FROM h
+"""
+
+
+def _ann_md5_sig_sql(vec: str, tbl: str, n_planes: int, dim: int) -> str:
+    """Sign-bit bucket string for the md5 +-1 plane family — ordered
+    list_reduce fold, bit-identical to Spark's aggregate/zip_with."""
+    return f"""array_to_string(list_transform(range(0, {n_planes}), p ->
+      CASE WHEN list_reduce(list_transform(range(0, {dim}), d ->
+        CASE WHEN (instr('0123456789abcdef',
+                   substr(md5(CAST({tbl} AS VARCHAR) || ',' || CAST(p AS VARCHAR)
+                              || ',' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+             THEN CAST({vec}[d+1] AS DOUBLE)
+             ELSE -CAST({vec}[d+1] AS DOUBLE) END),
+        (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END), '')"""
+
+
+def _ann_md5_sql(n_planes: int = 6, n_tables: int = 4, dim: int = 64,
+                 k: int = 5) -> str:
+    cos = """list_dot_product(CAST(query_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(query_vec AS DOUBLE[]), CAST(query_vec AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))"""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 5
+), qs AS (
+  SELECT query_id, query_vec, tbl,
+    {_ann_md5_sig_sql("query_vec", "tbl", n_planes, dim)} AS bucket
+  FROM q, LATERAL (SELECT unnest(range(0, {n_tables})) AS tbl)
+), es AS (
+  SELECT vec_id, embedding, tbl,
+    {_ann_md5_sig_sql("embedding", "tbl", n_planes, dim)} AS bucket
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {n_tables})) AS tbl)
+), cand AS (
+  SELECT DISTINCT qs.query_id, qs.query_vec, es.vec_id AS neighbor_id, es.embedding
+  FROM qs JOIN es
+    ON qs.tbl = es.tbl AND qs.bucket = es.bucket AND qs.query_id <> es.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id, {cos} AS score FROM cand
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 _ENTITY_DEDUP_SQL = r"""
 WITH occ AS (
   SELECT 'conv_' || CAST(p_partkey % 50 AS VARCHAR) AS conv_id,
@@ -1255,6 +1444,10 @@ def oracle_sql() -> dict[str, str]:
         "transcript_pipeline": _PIPELINE_SQL,
         "ccd_xml": _CCD_XML_SQL,
         "entity_exact_dedup": _ENTITY_DEDUP_SQL,
+        "minhash_lsh_md5": _MINHASH_MD5_SQL,
+        "simhash_md5": _simhash_md5_sql(),
+        "fingerprints_md5": _FINGERPRINTS_MD5_SQL,
+        "ann_lsh_md5": _ann_md5_sql(),
         "dedup_audit_rollup": """
             SELECT 'merged' AS action, 'exact_name_match' AS reason,
               CAST(SUM(p_partkey % 3) AS BIGINT) AS n_decisions,

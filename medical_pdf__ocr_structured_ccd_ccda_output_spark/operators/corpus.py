@@ -99,7 +99,8 @@ _MAX_LONG = (1 << 63) - 1
 
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """k independent min-hashes per doc: explode distinct shingles to
     rows, then k codegen'd min-aggregates assembled into the signature
     array.
@@ -117,9 +118,15 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
     HOF form is interpreted and ~10x slower)."""
     sh = word_shingles_udf(shingle_n)(F.col("text"))
     exploded = documents.select("doc_id", F.explode(sh).alias("shingle"))
+    if hash_fn == "md5":
+        # Lexicographic min over hex digests — engine-portable (DuckDB
+        # has md5 but not xxhash64); same algorithm, different family.
+        component = lambda i: F.md5(  # noqa: E731
+            F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
+    else:
+        component = lambda i: F.xxhash64(F.lit(i), F.col("shingle"))  # noqa: E731
     mins = exploded.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
-        for i in range(num_hashes)
+        F.min(component(i)).alias(f"_h{i}") for i in range(num_hashes)
     ])
     return mins.select(
         "doc_id",
@@ -129,7 +136,8 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
 
 def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
                       bands: int = 8, shingle_n: int = 3,
-                      jaccard_threshold: float = 0.7) -> DataFrame:
+                      jaccard_threshold: float = 0.7,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs via LSH banding + exact-Jaccard verification.
 
     rows/band bucket join keys are (band_id, hash-of-band-slice) — the
@@ -138,23 +146,25 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
     matching minhash components; candidates below threshold are dropped
     before any pairwise text work."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, shingle_n)
+    sigs = minhash_signatures(documents, num_hashes, shingle_n, hash_fn)
+    band_key = F.md5 if hash_fn == "md5" else F.xxhash64
+
+    def _bucket(b: int):
+        return band_key(
+            F.array_join(
+                F.transform(
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        )
+
     banded = sigs.select(
         "doc_id", "signature",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                )
+                F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
                 for b in range(bands)
             ])
         ).alias("bb"),
@@ -196,25 +206,43 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
 # 3. simhash (64-bit) + hamming near-dup
 # ---------------------------------------------------------------------------
 
-def simhash(documents: DataFrame) -> DataFrame:
+def simhash(documents: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit simhash over word tokens: per-bit weighted majority of
     token hashes.  Explode tokens to rows, 64 codegen'd conditional-sum
     aggregates (one per bit), then assemble the hash as the arithmetic
     sum of the winning bit masks (distinct powers of two — sum == OR,
     incl. the sign bit in two's complement).  Same rationale as
     minhash_signatures: array folds run interpreted; explode + groupBy
-    stays in whole-stage codegen with map-side partial aggregation."""
+    stays in whole-stage codegen with map-side partial aggregation.
+
+    hash_fn='md5' derives bit b from hex digit b//4 of the token's md5
+    (within-nibble position 3 - b%4) — engine-portable for the DuckDB
+    oracle; same algorithm, different hash family."""
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
     words = F.split(norm_text(F.col("text")), " ")
-    ex = documents.select("doc_id", F.explode(words).alias("_w")).select(
-        "doc_id", F.xxhash64(F.col("_w")).alias("_h")
-    )
-    votes = ex.groupBy("doc_id").agg(*[
-        F.sum(
-            F.when(F.col("_h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
-        ).alias(f"_v{b}")
-        for b, m in enumerate(masks)
-    ])
+    if hash_fn == "md5":
+        ex = documents.select("doc_id", F.explode(words).alias("_w")).select(
+            "doc_id", F.md5(F.col("_w")).alias("_m")
+        )
+
+        def _vote(b: int):
+            nib = F.conv(F.substring(F.col("_m"), 1 + b // 4, 1), 16, 10).cast("int")
+            bit = F.shiftright(nib, 3 - b % 4).bitwiseAND(F.lit(1))
+            return F.sum(F.when(bit == 1, 1).otherwise(-1))
+
+        votes = ex.groupBy("doc_id").agg(*[
+            _vote(b).alias(f"_v{b}") for b in range(64)
+        ])
+    else:
+        ex = documents.select("doc_id", F.explode(words).alias("_w")).select(
+            "doc_id", F.xxhash64(F.col("_w")).alias("_h")
+        )
+        votes = ex.groupBy("doc_id").agg(*[
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b, m in enumerate(masks)
+        ])
     sim = None
     for b, m in enumerate(masks):
         term = F.when(F.col(f"_v{b}") > 0, F.lit(m).cast("long")).otherwise(
@@ -224,14 +252,15 @@ def simhash(documents: DataFrame) -> DataFrame:
     return votes.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= k.  Candidate
     generation: split the 64-bit hash into (k+1) blocks — any pair
     within hamming<=k shares at least one exact block (pigeonhole), so
     the self-join is equi on (block_id, block_value)."""
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
-    sh = simhash(documents)
+    sh = simhash(documents, hash_fn)
 
     def _block(i: int):
         # last block absorbs the remainder bits
@@ -411,13 +440,16 @@ def token_counts(documents: DataFrame) -> DataFrame:
 # 8. document fingerprinting (winnowing over a rolling hash)
 # ---------------------------------------------------------------------------
 
-def fingerprints(documents: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
+def fingerprints(documents: DataFrame, k: int = 5, window: int = 4,
+                 hash_fn: str = "xxhash64") -> DataFrame:
     """Winnowing fingerprints: hash every k-gram of words, take the min
     hash of each sliding window of `window` consecutive k-gram hashes,
     distinct.  All array ops — no explode until the final fingerprint
-    set (kept as an array column)."""
+    set (kept as an array column).  hash_fn='md5' uses lexicographic
+    hex-digest ordering (engine-portable for the DuckDB oracle)."""
+    gram_hash = F.md5 if hash_fn == "md5" else F.xxhash64
     grams = word_shingles(F.col("text"), k)  # distinct k-grams
-    hashes = F.array_sort(F.transform(grams, lambda g: F.xxhash64(g)))
+    hashes = F.array_sort(F.transform(grams, lambda g: gram_hash(g)))
     m = F.size(hashes) - (window - 1)
     wins = F.when(
         m > 0,

@@ -123,6 +123,69 @@ def lsh_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
     return _buckets
 
 
+def _md5_planes(dim: int, n_planes: int, table: int) -> list[list[float]]:
+    """Rademacher (+-1) hyperplane weights from md5 nibble parity:
+    weight(t, p, d) = +1 if the first hex digit of md5('t,p,d') is
+    even, else -1.  Engine-portable: DuckDB computes the identical
+    family from its md5() (sign-random-projection is a valid LSH family
+    for cosine, like the Gaussian planes of lsh_topk)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{table},{p},{d}".encode())
+                       .hexdigest()[0], 16) % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_topk_md5(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                 n_planes: int = 6, n_tables: int = 4,
+                 dim: int | None = None) -> DataFrame:
+    """DuckDB-oracle-able twin of lsh_topk: md5-derived +-1 planes and
+    JVM sequential-fold projections (bit-identical to an ordered
+    list_reduce in the oracle engine), unrounded cosine re-rank.  The
+    production path stays lsh_topk (Gaussian planes, one Arrow matmul
+    per batch)."""
+    if dim is None:
+        dim = len(queries.select("query_vec").first()["query_vec"])
+    tables = [_md5_planes(dim, n_planes, t) for t in range(n_tables)]
+
+    def with_sig(df, vec_col):
+        sigs = F.array(*[
+            lsh_signature_expr(F.col(vec_col), planes) for planes in tables
+        ])
+        return df.select("*", F.posexplode(sigs).alias("tbl", "bucket"))
+
+    e_sig = with_sig(embeddings, "embedding").alias("e")
+    q_sig = F.broadcast(with_sig(queries, "query_vec")).alias("q")
+    cand = (
+        q_sig.join(
+            e_sig,
+            (F.col("q.tbl") == F.col("e.tbl"))
+            & (F.col("q.bucket") == F.col("e.bucket"))
+            & (F.col("q.query_id") != F.col("e.vec_id")),
+        )
+        .select("q.query_id", "q.query_vec",
+                F.col("e.vec_id").alias("neighbor_id"), F.col("e.embedding"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("query_vec"), F.col("embedding")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, n_tables: int = 8, dim: int | None = None,
              seed: int = 42) -> DataFrame:
