@@ -154,9 +154,11 @@ def main():
             out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
             return json.loads(out.stdout.strip().splitlines()[-1])
 
-        r8 = probe(8, pin=True)
-        r32 = probe(32, pin=False)
-        eff = (r8["best_sec"] / r32["best_sec"]) / (32 / 8)
+        lo, hi = (int(x) for x in
+                  os.environ.get("SPARK_GRAFT_SCALE_PAIR", "8,32").split(","))
+        r_lo = probe(lo, pin=True)
+        r_hi = probe(hi, pin=hi < 32)  # pin unless the leg owns the box
+        eff = (r_lo["best_sec"] / r_hi["best_sec"]) / (hi / lo)
 
         def spin(workers):
             import multiprocessing as mp
@@ -178,19 +180,20 @@ def main():
             [p.join() for p in ps]
             return total
 
-        ceiling = (spin(32) / spin(8)) / 4
+        ceiling = (spin(hi) / spin(lo)) / (hi / lo)
         result["scaling"] = {
-            "n_turns": r8["n_turns"],
-            "t_local8_sec": r8["best_sec"],
-            "t_local32_sec": r32["best_sec"],
-            "throughput_local8": r8["throughput_turns_per_sec"],
-            "throughput_local32": r32["throughput_turns_per_sec"],
-            "speedup": round(r8["best_sec"] / r32["best_sec"], 3),
+            "pair": [lo, hi],
+            "n_turns": r_lo["n_turns"],
+            f"t_local{lo}_sec": r_lo["best_sec"],
+            f"t_local{hi}_sec": r_hi["best_sec"],
+            f"throughput_local{lo}": r_lo["throughput_turns_per_sec"],
+            f"throughput_local{hi}": r_hi["throughput_turns_per_sec"],
+            "speedup": round(r_lo["best_sec"] / r_hi["best_sec"], 3),
             "efficiency": round(eff, 3),
-            "cpu_ceiling_8_to_32": round(ceiling, 3),
+            "cpu_ceiling": round(ceiling, 3),
             "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
-            "times_local8": r8["times_sec"],
-            "times_local32": r32["times_sec"],
+            f"times_local{lo}": r_lo["times_sec"],
+            f"times_local{hi}": r_hi["times_sec"],
         }
 
     print(json.dumps(result))
