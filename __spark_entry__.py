@@ -190,6 +190,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["unclear_chars"] = q_unclear_chars
 
+    def q_review_reasons(spark, sf):
+        """P5 review reasons (ocr_service.py:442-471): ordered reason
+        strings from the rounded confidence + capped uncertain-token
+        counts, over the cleaned boundary-injected corpus."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.extract import extract_turns
+
+        out = extract_turns(_docs_as_transcripts(spark, sf), with_sections=False)
+        return out.select(
+            F.col("conv_id").alias("source"),
+            F.col("turn_idx").alias("doc_id"),
+            F.array_join("review_reasons", "|").alias("reasons"),
+        )
+    q["review_reasons"] = q_review_reasons
+
     # ---- corpus / training-data ops (oracled where SQL-expressible) ----
     def q_exact_dedup(spark, sf):
         return corpus.exact_dedup(_read(spark, sf, "documents"))
@@ -1129,11 +1143,7 @@ seq AS (
     FROM cleaned)
 )"""
 
-_PIPELINE_SQL = f"""
-WITH inp AS ({_INJECT_SQL}),
-cleaned AS ({_clean_sql("inp", "source, doc_id")}),
-conf AS ({_confidence_sql("cleaned", "source, doc_id", "text_clean",
-                          rounded=True, out="confidence")}),
+_TOK_CTE = f"""
 tok AS (
   SELECT source, doc_id,
     len(list_filter(string_split(text_clean, chr(10)),
@@ -1145,7 +1155,14 @@ tok AS (
       len(list_filter({_HW_IND_LIST_SQL},
                       i -> contains(lower(l), i))))) AS BIGINT), 0) AS hw_cnt
   FROM cleaned
-),
+)"""
+
+_PIPELINE_SQL = f"""
+WITH inp AS ({_INJECT_SQL}),
+cleaned AS ({_clean_sql("inp", "source, doc_id")}),
+conf AS ({_confidence_sql("cleaned", "source, doc_id", "text_clean",
+                          rounded=True, out="confidence")}),
+{_TOK_CTE},
 {_SESSIONIZE_CLEANED_CTE}
 SELECT c.source, c.doc_id,
   printf('visit_%03d', CAST(s.visit_seq AS INT)) AS visit_id,
@@ -1157,6 +1174,46 @@ FROM cleaned c
 JOIN conf cf ON cf.source = c.source AND cf.doc_id = c.doc_id
 JOIN tok t ON t.source = c.source AND t.doc_id = c.doc_id
 JOIN seq s ON s.source = c.source AND s.doc_id = c.doc_id
+"""
+
+# P5 review reasons: counts over the CAPPED token list (slice 1..20 of
+# unclear-pass ++ abbrev-pass ++ handwriting-pass).  'handwriting'
+# matches both the unclear-pass reason (illegible_handwriting) and the
+# handwriting pass; 'ambiguous' only the abbrev pass.
+_REVIEW_REASONS_SQL = f"""
+WITH inp AS ({_INJECT_SQL}),
+cleaned AS ({_clean_sql("inp", "source, doc_id")}),
+conf AS ({_confidence_sql("cleaned", "source, doc_id", "text_clean",
+                          rounded=True, out="confidence")}),
+{_TOK_CTE},
+feats AS (
+  SELECT c.source, c.doc_id, cf.confidence,
+    CAST((length(c.text_clean)
+          - length(replace(c.text_clean, '[UNCLEAR', ''))) / 8 AS INT) AS unclear_markers,
+    length(c.text_clean) AS n_chars,
+    least(t.unclear_cnt, 20)
+      + greatest(0, least(t.hw_cnt, 20 - t.unclear_cnt - t.abbrev_cnt)) AS hw_cap,
+    greatest(0, least(t.abbrev_cnt, 20 - t.unclear_cnt)) AS amb_cap
+  FROM cleaned c
+  JOIN conf cf ON cf.source = c.source AND cf.doc_id = c.doc_id
+  JOIN tok t ON t.source = c.source AND t.doc_id = c.doc_id
+)
+SELECT source, doc_id,
+  array_to_string(list_filter([
+    CASE WHEN confidence < 0.60
+         THEN printf('Low OCR confidence: %.1f%% (threshold: 60%%)', confidence * 100) END,
+    CASE WHEN confidence < 0.75 AND n_chars > 100
+         THEN printf('Moderate confidence on substantial content: %.1f%%', confidence * 100) END,
+    CASE WHEN unclear_markers > 0
+         THEN printf('%d illegible section(s) marked as [UNCLEAR]', unclear_markers) END,
+    CASE WHEN hw_cap > 3
+         THEN printf('%d sections with handwriting uncertainty', hw_cap) END,
+    CASE WHEN amb_cap > 2
+         THEN printf('%d ambiguous medical abbreviations detected', amb_cap) END,
+    CASE WHEN n_chars < 100
+         THEN printf('Very short extraction (%d characters) - may indicate scan quality issues', n_chars) END
+  ], x -> x IS NOT NULL), '|') AS reasons
+FROM feats
 """
 
 _XML_COMPONENT_FMT = (
@@ -1448,6 +1505,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_md5_sql(),
         "fingerprints_md5": _FINGERPRINTS_MD5_SQL,
         "ann_lsh_md5": _ann_md5_sql(),
+        "review_reasons": _REVIEW_REASONS_SQL,
         "dedup_audit_rollup": """
             SELECT 'merged' AS action, 'exact_name_match' AS reason,
               CAST(SUM(p_partkey % 3) AS BIGINT) AS n_decisions,

@@ -109,6 +109,32 @@ def main():
         dt = min(_timed(lambda d=df: _materialize(d))[1] for _ in range(2))
         timings[name] = round(dt, 3)
 
+    # Per-turn equality pass rate (the north metric's correctness half):
+    # the JVM expression extractor vs the Arrow UDF that runs
+    # rules.clean_text (the pure-Python rule spec), over the whole
+    # corpus — two independent implementations of the extraction rules.
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.cleaning import (
+        clean_text_expr,
+        clean_text_pandas_udf,
+    )
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.confidence import (
+        confidence_expr,
+    )
+
+    jvm_clean = clean_text_expr(F.col("text"))
+    py_clean = clean_text_pandas_udf()(F.col("text"))
+    eq = transcripts.agg(
+        F.avg((jvm_clean == py_clean).cast("double")).alias("txt"),
+        F.avg(
+            (confidence_expr(jvm_clean) == confidence_expr(py_clean)).cast("double")
+        ).alias("conf"),
+    ).collect()[0]
+    equality = {
+        "text_pass_rate": round(eq["txt"], 6),
+        "confidence_pass_rate": round(eq["conf"], 6),
+        "n_turns": n_turns,
+    }
+
     result = {
         "metric": "extraction_throughput",
         "value": round(throughput, 1),
@@ -117,6 +143,7 @@ def main():
         "sf": SF,
         "n_turns": n_turns,
         "cpus": CPUS,
+        "per_turn_equality": equality,
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
