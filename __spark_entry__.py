@@ -190,6 +190,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["unclear_chars"] = q_unclear_chars
 
+    def q_section_spans(spark, sf):
+        """P7/M2 full section segmentation (rules.extract_sections):
+        header lines injected deterministically (every ' the '/' and '
+        becomes a MEDICATIONS:/PLAN header line — replicated verbatim in
+        the oracle), spans exploded to rows."""
+        d = _read(spark, sf, "documents")
+        injected = F.replace(
+            F.replace(F.col("text"), F.lit(" the "), F.lit("\nMEDICATIONS:\n")),
+            F.lit(" and "), F.lit("\nPLAN\n"),
+        )
+        s = d.select(
+            "doc_id", F.explode(sections_expr(injected)).alias("sp")
+        )
+        return s.select(
+            "doc_id",
+            F.col("sp.section").alias("section"),
+            F.col("sp.start_line").alias("start_line"),
+            F.col("sp.end_line").alias("end_line"),
+            F.col("sp.text").alias("span_text"),
+        )
+    q["section_spans"] = q_section_spans
+
+    def q_document_rollup(spark, sf):
+        """A1-A5 per-conversation rollup through operators.rollups.
+        document_rollup over the boundary-injected corpus.  The
+        engine-rounded avg-confidence column is excluded (float
+        summation order differs across engines); review reasons are
+        emitted as a sorted joined set."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import rollups
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.extract import extract_turns
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import assign_visits
+
+        out = assign_visits(
+            extract_turns(_docs_as_transcripts(spark, sf), with_sections=False)
+        )
+        roll = rollups.document_rollup(out, include_combined_text=False)
+        return roll.select(
+            F.col("conv_id").alias("source"),
+            "page_count", "successful_pages", "visit_count",
+            "pages_needing_review", "unclear_marker_count", "total_characters",
+            F.array_join(F.array_sort("all_review_reasons"), "|")
+            .alias("review_reasons_sorted"),
+        )
+    q["document_rollup"] = q_document_rollup
+
     def q_review_reasons(spark, sf):
         """P5 review reasons (ocr_service.py:442-471): ordered reason
         strings from the rounded confidence + capped uncertain-token
@@ -1176,16 +1221,36 @@ JOIN tok t ON t.source = c.source AND t.doc_id = c.doc_id
 JOIN seq s ON s.source = c.source AND s.doc_id = c.doc_id
 """
 
+_SECTION_SPANS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+    string_split(
+      replace(replace(text, ' the ', chr(10) || 'MEDICATIONS:' || chr(10)),
+              ' and ', chr(10) || 'PLAN' || chr(10)),
+      chr(10)) AS ls
+  FROM documents
+), lines AS (
+  SELECT doc_id, ls, i, ls[i] AS ln, len(ls) AS n_lines
+  FROM docs, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i)
+), hdrs AS (
+  SELECT doc_id, ls, i, n_lines,
+    {_section_match_sql('ln')} AS section,
+    lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS next_i
+  FROM lines
+  WHERE ({_section_match_sql('ln')}) IS NOT NULL
+)
+SELECT doc_id, section,
+  CAST(i AS INT) AS start_line,
+  CAST(coalesce(next_i - 1, n_lines) AS INT) AS end_line,
+  array_to_string(ls[i : coalesce(next_i - 1, n_lines)], chr(10)) AS span_text
+FROM hdrs
+"""
+
 # P5 review reasons: counts over the CAPPED token list (slice 1..20 of
 # unclear-pass ++ abbrev-pass ++ handwriting-pass).  'handwriting'
 # matches both the unclear-pass reason (illegible_handwriting) and the
 # handwriting pass; 'ambiguous' only the abbrev pass.
-_REVIEW_REASONS_SQL = f"""
-WITH inp AS ({_INJECT_SQL}),
-cleaned AS ({_clean_sql("inp", "source, doc_id")}),
-conf AS ({_confidence_sql("cleaned", "source, doc_id", "text_clean",
-                          rounded=True, out="confidence")}),
-{_TOK_CTE},
+_FEATS_CTE = """
 feats AS (
   SELECT c.source, c.doc_id, cf.confidence,
     CAST((length(c.text_clean)
@@ -1193,13 +1258,16 @@ feats AS (
     length(c.text_clean) AS n_chars,
     least(t.unclear_cnt, 20)
       + greatest(0, least(t.hw_cnt, 20 - t.unclear_cnt - t.abbrev_cnt)) AS hw_cap,
-    greatest(0, least(t.abbrev_cnt, 20 - t.unclear_cnt)) AS amb_cap
+    greatest(0, least(t.abbrev_cnt, 20 - t.unclear_cnt)) AS amb_cap,
+    (cf.confidence < 0.60
+     OR (t.unclear_cnt + t.abbrev_cnt + t.hw_cnt) > 5
+     OR t.unclear_cnt > 2) AS needs_review
   FROM cleaned c
   JOIN conf cf ON cf.source = c.source AND cf.doc_id = c.doc_id
   JOIN tok t ON t.source = c.source AND t.doc_id = c.doc_id
-)
-SELECT source, doc_id,
-  array_to_string(list_filter([
+)"""
+
+_REASONS_LIST_SQL = """list_filter([
     CASE WHEN confidence < 0.60
          THEN printf('Low OCR confidence: %.1f%% (threshold: 60%%)', confidence * 100) END,
     CASE WHEN confidence < 0.75 AND n_chars > 100
@@ -1212,8 +1280,37 @@ SELECT source, doc_id,
          THEN printf('%d ambiguous medical abbreviations detected', amb_cap) END,
     CASE WHEN n_chars < 100
          THEN printf('Very short extraction (%d characters) - may indicate scan quality issues', n_chars) END
-  ], x -> x IS NOT NULL), '|') AS reasons
+  ], x -> x IS NOT NULL)"""
+
+_EXTRACT_CTES = f"""inp AS ({_INJECT_SQL}),
+cleaned AS ({_clean_sql("inp", "source, doc_id")}),
+conf AS ({_confidence_sql("cleaned", "source, doc_id", "text_clean",
+                          rounded=True, out="confidence")}),
+{_TOK_CTE},
+{_FEATS_CTE}"""
+
+_REVIEW_REASONS_SQL = f"""
+WITH {_EXTRACT_CTES}
+SELECT source, doc_id,
+  array_to_string({_REASONS_LIST_SQL}, '|') AS reasons
 FROM feats
+"""
+
+_DOCUMENT_ROLLUP_SQL = f"""
+WITH {_EXTRACT_CTES},
+{_SESSIONIZE_CLEANED_CTE}
+SELECT f.source,
+  COUNT(*) AS page_count,
+  CAST(SUM(CASE WHEN f.confidence > 0 THEN 1 ELSE 0 END) AS BIGINT) AS successful_pages,
+  COUNT(DISTINCT s.visit_seq) AS visit_count,
+  CAST(SUM(CASE WHEN f.needs_review THEN 1 ELSE 0 END) AS BIGINT) AS pages_needing_review,
+  CAST(SUM(f.unclear_markers) AS BIGINT) AS unclear_marker_count,
+  CAST(SUM(f.n_chars) AS BIGINT) AS total_characters,
+  array_to_string(list_sort(list_distinct(flatten(list({_REASONS_LIST_SQL})))), '|')
+    AS review_reasons_sorted
+FROM feats f
+JOIN seq s ON s.source = f.source AND s.doc_id = f.doc_id
+GROUP BY f.source
 """
 
 _XML_COMPONENT_FMT = (
@@ -1506,6 +1603,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints_md5": _FINGERPRINTS_MD5_SQL,
         "ann_lsh_md5": _ann_md5_sql(),
         "review_reasons": _REVIEW_REASONS_SQL,
+        "section_spans": _SECTION_SPANS_SQL,
+        "document_rollup": _DOCUMENT_ROLLUP_SQL,
         "dedup_audit_rollup": """
             SELECT 'merged' AS action, 'exact_name_match' AS reason,
               CAST(SUM(p_partkey % 3) AS BIGINT) AS n_decisions,
