@@ -212,6 +212,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["section_spans"] = q_section_spans
 
+    def q_uncertain_tokens(spark, sf):
+        """F7 full uncertain-token extraction (three ordered passes,
+        cap 20, ocr_service.py:366-420): markers injected
+        deterministically so all passes fire; structs exploded with
+        their capped-list position."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.tokens import (
+            uncertain_tokens_expr,
+        )
+        d = _read(spark, sf, "documents")
+        injected = F.replace(
+            F.replace(F.col("text"),
+                      F.lit(" spark "), F.lit(" MS [UNCLEAR: spark?] possibly ")),
+            F.lit(" data "), F.lit(" BS ~~~ "),
+        )
+        ex = d.select(
+            "doc_id",
+            F.posexplode(uncertain_tokens_expr(injected)).alias("pos", "tok"),
+        )
+        return ex.select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("idx"),
+            F.col("tok.line_number").alias("line_number"),
+            F.col("tok.token").alias("token"),
+            F.col("tok.context").alias("context"),
+            F.col("tok.reason").alias("reason"),
+        )
+    q["uncertain_tokens"] = q_uncertain_tokens
+
     def q_document_rollup(spark, sf):
         """A1-A5 per-conversation rollup through operators.rollups.
         document_rollup over the boundary-injected corpus.  The
@@ -234,6 +262,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("review_reasons_sorted"),
         )
     q["document_rollup"] = q_document_rollup
+
+    def q_stage_metrics(spark, sf):
+        """A14 per-stage metric rows (long format) through
+        operators.rollups.stage_metrics; the float avg_confidence row is
+        excluded (engine summation order), integer metrics are exact
+        doubles."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import rollups
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.extract import extract_turns
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import assign_visits
+
+        out = assign_visits(
+            extract_turns(_docs_as_transcripts(spark, sf), with_sections=False)
+        )
+        return rollups.stage_metrics(out).filter(
+            F.col("metric") != "avg_confidence"
+        )
+    q["stage_metrics"] = q_stage_metrics
 
     def q_review_reasons(spark, sf):
         """P5 review reasons (ocr_service.py:442-471): ordered reason
@@ -1221,6 +1266,78 @@ JOIN tok t ON t.source = c.source AND t.doc_id = c.doc_id
 JOIN seq s ON s.source = c.source AND s.doc_id = c.doc_id
 """
 
+def _uncertain_tokens_sql() -> str:
+    """F7 three-pass uncertain-token extraction with cap 20, exploded
+    with capped-list position — mirrors functions/tokens.py expr-for-
+    expr (pos/rel/close arithmetic, strip semantics, pass order)."""
+    abbrevs = "[" + ", ".join(
+        "{'abbrev': '%s', 'reason': 'ambiguous_abbreviation: %s'}"
+        % (a, m.replace("'", "''"))
+        for a, m in rules.AMBIGUOUS_ABBREVIATIONS
+    ) + "]"
+    inds = "[" + ", ".join(f"'{i}'" for i in rules.HANDWRITING_TOKEN_INDICATORS) + "]"
+    strip = (r"regexp_replace(regexp_replace(%s, '^\s+', ''), '\s+$', '')")
+    pos = "instr(s.line, '[UNCLEAR')"
+    rel = f"instr(substr(s.line, {pos}), ']')"
+    close = f"(CASE WHEN {rel} > 0 THEN {pos} + {rel} - 1 ELSE 0 END)"
+    start0 = f"greatest(0, {pos} - 21)"
+    end0 = f"least(length(s.line), {close} + 20)"
+    ctx_raw = f"substr(s.line, {start0} + 1, greatest({end0} - {start0}, 0))"
+    line_strip60 = f"substr({strip % 's.line'}, 1, 60)"
+    return r"""
+WITH docs AS (
+  SELECT doc_id,
+    string_split(replace(replace(text, ' spark ', ' MS [UNCLEAR: spark?] possibly '),
+                         ' data ', ' BS ~~~ '), chr(10)) AS ls
+  FROM documents
+), idxed AS (
+  SELECT doc_id,
+    list_transform(range(1, len(ls) + 1), i -> {'n': i, 'line': ls[i]}) AS lines
+  FROM docs
+), tk AS (
+  SELECT doc_id,
+    (
+      list_transform(
+        list_filter(lines, s -> contains(s.line, '[UNCLEAR')),
+        s -> {
+          'line_number': CAST(s.n AS INT),
+          'token': CASE WHEN %(rel)s > 0
+                        THEN substr(s.line, %(pos)s, %(rel)s) ELSE '' END,
+          'context': %(ctx)s,
+          'reason': 'illegible_handwriting'
+        })
+      || flatten(list_transform(lines, s ->
+           list_transform(
+             list_filter(%(abbrevs)s,
+                         ab -> contains(' ' || s.line || ' ', ' ' || ab.abbrev || ' ')),
+             ab -> {
+               'line_number': CAST(s.n AS INT),
+               'token': ab.abbrev,
+               'context': %(line60)s,
+               'reason': ab.reason })))
+      || flatten(list_transform(lines, s ->
+           list_transform(
+             list_filter(%(inds)s, ind -> contains(lower(s.line), ind)),
+             ind -> {
+               'line_number': CAST(s.n AS INT),
+               'token': ind,
+               'context': %(line60)s,
+               'reason': 'handwriting_uncertainty' })))
+    )[1:20] AS toks
+  FROM idxed
+)
+SELECT doc_id, CAST(i AS INT) AS idx,
+  toks[i].line_number AS line_number,
+  toks[i].token AS token,
+  toks[i].context AS context,
+  toks[i].reason AS reason
+FROM tk, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+""" % {
+        "rel": rel, "pos": pos, "ctx": strip % ctx_raw,
+        "abbrevs": abbrevs, "inds": inds, "line60": line_strip60,
+    }
+
+
 _SECTION_SPANS_SQL = f"""
 WITH docs AS (
   SELECT doc_id,
@@ -1288,6 +1405,27 @@ conf AS ({_confidence_sql("cleaned", "source, doc_id", "text_clean",
                           rounded=True, out="confidence")}),
 {_TOK_CTE},
 {_FEATS_CTE}"""
+
+_STAGE_METRICS_SQL = f"""
+WITH {_EXTRACT_CTES},
+vals AS (
+  SELECT
+    COUNT(*) AS turns_total,
+    COUNT(DISTINCT f.source) AS conversations_total,
+    SUM(CASE WHEN f.needs_review THEN 1 ELSE 0 END) AS turns_needing_review,
+    SUM(CASE WHEN regexp_matches(c.text_clean, '{_BOUNDARY_RE_SQL}')
+             THEN 1 ELSE 0 END) AS boundary_turns,
+    SUM(least(t.unclear_cnt + t.abbrev_cnt + t.hw_cnt, 20)) AS uncertain_tokens_total
+  FROM feats f
+  JOIN tok t ON t.source = f.source AND t.doc_id = f.doc_id
+  JOIN cleaned c ON c.source = f.source AND c.doc_id = f.doc_id
+)
+SELECT 'turns_total' AS metric, CAST(turns_total AS DOUBLE) AS value FROM vals
+UNION ALL SELECT 'conversations_total', CAST(conversations_total AS DOUBLE) FROM vals
+UNION ALL SELECT 'turns_needing_review', CAST(turns_needing_review AS DOUBLE) FROM vals
+UNION ALL SELECT 'boundary_turns', CAST(boundary_turns AS DOUBLE) FROM vals
+UNION ALL SELECT 'uncertain_tokens_total', CAST(uncertain_tokens_total AS DOUBLE) FROM vals
+"""
 
 _REVIEW_REASONS_SQL = f"""
 WITH {_EXTRACT_CTES}
@@ -1605,6 +1743,8 @@ def oracle_sql() -> dict[str, str]:
         "review_reasons": _REVIEW_REASONS_SQL,
         "section_spans": _SECTION_SPANS_SQL,
         "document_rollup": _DOCUMENT_ROLLUP_SQL,
+        "uncertain_tokens": _uncertain_tokens_sql(),
+        "stage_metrics": _STAGE_METRICS_SQL,
         "dedup_audit_rollup": """
             SELECT 'merged' AS action, 'exact_name_match' AS reason,
               CAST(SUM(p_partkey % 3) AS BIGINT) AS n_decisions,
