@@ -14,15 +14,14 @@ identical in both engines (divisions of exact ints, sequential-fold dot
 products) or decimal-exact sums cast to double at the end — never
 engine-rounded floats.
 
-Non-SQL-expressible ops (xxhash64-based minhash/simhash/LSH/
-fingerprints, difflib-based variant lookup and fuzzy merge,
-multimodal stubs) appear in queries() without an oracle_sql entry ->
-the driver records the weaker rows-only check; their real correctness
-gates are the pytest oracles.  The full extraction pipeline
-(transcript_pipeline) and the CCD XML sink ARE fully oracled: the
-composed DuckDB SQL replays clean -> confidence (incl. HALF_EVEN
-2-decimal rounding via exact integer arithmetic) -> uncertainty/review
-flags -> sessionize -> rollup -> XML string, value-hash-equal.
+Rows-only queries (no oracle_sql entry) are exactly the xxhash64/
+Gaussian-plane production twins of oracled md5 variants, plus the
+multimodal stub; everything else — including the full extraction
+pipeline, the CCD XML string sink, the F7 token structs, and the
+difflib fuzzy tier (via a constructed family whose Ratcliff-Obershelp
+ratio has the closed form 2L/(2L+3)) — is value-hash-oracled against
+DuckDB.  Confidence rounding parity uses HALF_EVEN 2-decimal rounding
+via exact integer arithmetic (the bround analog).
 """
 
 from __future__ import annotations
@@ -670,14 +669,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_fuzzy_merge(spark, sf):
         """A8 fuzzy-tier greedy merge (applyInPandas + difflib
-        SequenceMatcher >= 0.85, deduplication_service.py:123-195) —
-        rows-only: Ratcliff-Obershelp is not SQL-expressible; semantics
-        are pytest-oracled against rules.merge_medications."""
+        SequenceMatcher >= 0.85, deduplication_service.py:123-195),
+        DuckDB-oracled via a constructed family with a closed-form
+        Ratcliff-Obershelp ratio: per part, entities {name, name+' xl'}
+        have ratio exactly 2L/(2L+3), so the merge decision (>= 0.85
+        iff L >= 9) and the merged output are SQL-predictable while the
+        Spark side still runs the real grouped difflib loop."""
         from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import dedup
 
         p = _read(spark, sf, "part")
         occ = p.select(
-            F.concat(F.lit("conv_"), (F.col("p_partkey") % 20).cast("string")).alias("conv_id"),
+            F.concat(F.lit("c"), F.col("p_partkey").cast("string")).alias("conv_id"),
             F.lit("visit_001").alias("visit_id"),
             "p_partkey", "p_name",
             F.explode(F.array(F.lit(1), F.lit(2))).alias("occ"),
@@ -694,10 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         combined = dedup.dedup_entities(entities, "medication")
         ent, _ = dedup.split_dedup_output(combined)
         return ent.select(
-            "conv_id", "visit_id", "name", "dose",
-            F.col("source_pages").cast("string").alias("source_pages"),
-            "merge_confidence",
-            F.col("alternative_representations").cast("string").alias("alts"),
+            "conv_id", "visit_id", "name", "dose", "source_pages",
+            "merge_confidence", "alternative_representations",
         )
     q["fuzzy_merge"] = q_fuzzy_merge
 
@@ -1745,6 +1745,41 @@ def oracle_sql() -> dict[str, str]:
         "document_rollup": _DOCUMENT_ROLLUP_SQL,
         "uncertain_tokens": _uncertain_tokens_sql(),
         "stage_metrics": _STAGE_METRICS_SQL,
+        "fuzzy_merge": """
+            WITH base AS (
+              SELECT 'c' || CAST(p_partkey AS VARCHAR) AS conv_id, p_partkey, p_name,
+                (2.0 * length(p_name) / (2 * length(p_name) + 3)) >= 0.85 AS merged
+              FROM part
+            )
+            SELECT conv_id, 'visit_001' AS visit_id, p_name AS name,
+              '5mg' AS dose,
+              [CAST(p_partkey*10+1 AS INT), CAST(p_partkey*10+2 AS INT)] AS source_pages,
+              CAST(0.95 AS DOUBLE) AS merge_confidence,
+              [p_name || ' xl'] AS alternative_representations
+            FROM base WHERE merged
+            UNION ALL
+            SELECT conv_id, 'visit_001', p_name, CAST(NULL AS VARCHAR),
+              [CAST(p_partkey*10+1 AS INT)], CAST(NULL AS DOUBLE),
+              CAST(NULL AS VARCHAR[])
+            FROM base WHERE NOT merged
+            UNION ALL
+            SELECT conv_id, 'visit_001', p_name || ' xl', '5mg',
+              [CAST(p_partkey*10+2 AS INT)], CAST(NULL AS DOUBLE),
+              CAST(NULL AS VARCHAR[])
+            FROM base WHERE NOT merged
+        """,
+        "variant_lookup": """
+            -- golden oracle: the 6-term input is fixed (sf-independent);
+            -- expected values precomputed with difflib (rules.term_variants)
+            SELECT * FROM (VALUES
+              ('polydypsia', '[polydipsia]', 'multiple_variants'),
+              ('hypoglycemia', '[hypoglycaemia]', 'multiple_variants'),
+              ('glucose', '[]', 'raw_preserved'),
+              ('hemoglobin', '[haemoglobin]', 'multiple_variants'),
+              ('anxiety', '[]', 'raw_preserved'),
+              ('oesophagus', '[esophagus]', 'multiple_variants')
+            ) AS t(term, alternatives, decision)
+        """,
         "dedup_audit_rollup": """
             SELECT 'merged' AS action, 'exact_name_match' AS reason,
               CAST(SUM(p_partkey % 3) AS BIGINT) AS n_decisions,
