@@ -895,6 +895,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["media_features"] = q_media_features
 
+    def q_media_features_docs(spark, sf):
+        """Multimodal decode plumbing, DuckDB-oracled: payload = ASCII-
+        sanitized document text bytes (so byte values == codepoints in
+        both engines); the real mapInPandas stub-decode pass computes
+        the byte-histogram feature, which the oracle reproduces with
+        per-char list arithmetic."""
+        d = _read(spark, sf, "documents")
+        ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", "")
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video").alias("media_type"),
+            F.encode(ascii_txt, "UTF-8").alias("payload"),
+        )
+        return multimodal.decode_features(media).select(
+            "media_id", "media_type", "n_bytes", "feature", "decode_status"
+        )
+    q["media_features_docs"] = q_media_features_docs
+
     return q
 
 
@@ -1767,6 +1787,28 @@ def oracle_sql() -> dict[str, str]:
               [CAST(p_partkey*10+2 AS INT)], CAST(NULL AS DOUBLE),
               CAST(NULL AS VARCHAR[])
             FROM base WHERE NOT merged
+        """,
+        "media_features_docs": r"""
+            WITH a AS (
+              SELECT doc_id AS media_id,
+                CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                     ELSE 'video' END AS media_type,
+                regexp_extract_all(
+                  regexp_replace(text, '[^\x20-\x7e]', '', 'g'), '[\s\S]') AS chars
+              FROM documents
+            ), h AS (
+              SELECT media_id, media_type, len(chars) AS n,
+                list_transform(range(0, 16), b ->
+                  len(list_filter(chars, c -> unicode(c) % 16 = b))) AS hist
+              FROM a
+            )
+            SELECT media_id, media_type,
+              CAST(n AS INT) AS n_bytes,
+              list_transform(hist, x ->
+                CAST(CAST(x AS DOUBLE) / greatest(n, 1) AS FLOAT)) AS feature,
+              'stub' AS decode_status
+            FROM h
         """,
         "variant_lookup": """
             -- golden oracle: the 6-term input is fixed (sf-independent);
