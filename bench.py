@@ -89,7 +89,7 @@ def main():
     # production scale where a job runs minutes per stage, so the bench
     # warms until the timing stabilizes and reports steady state.
     warm = [_timed(_extraction_job, spark, transcripts)[1] for _ in range(4)]
-    n_reps = 3
+    n_reps = 5  # shared vCPUs are noisy; min-of-5 damps co-tenant spikes
     dts = [_timed(_extraction_job, spark, transcripts)[1] for _ in range(n_reps)]
     dt = min(dts)
     timings["extraction_pipeline"] = round(dt, 3)
@@ -106,7 +106,7 @@ def main():
     ]:
         df = qs[name](spark, SF_DIR)
         _materialize(df)
-        dt = min(_timed(lambda d=df: _materialize(d))[1] for _ in range(2))
+        dt = min(_timed(lambda d=df: _materialize(d))[1] for _ in range(3))
         timings[name] = round(dt, 3)
 
     # Per-turn equality pass rate (the north metric's correctness half):
