@@ -888,6 +888,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["transcript_pipeline"] = q_transcript_pipeline
 
+    def q_streaming_extract(spark, sf):
+        """Structured Streaming extraction through a real availableNow
+        stream (readStream -> extract_turns -> checkpointed foreachBatch
+        sink), DuckDB-oracled: the extraction stage is stateless, so
+        the streamed result must equal the batch clean+confidence SQL
+        regardless of micro-batch boundaries (input split into 16 files
+        -> multiple triggers at maxFilesPerTrigger=8)."""
+        import tempfile
+
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.streaming.stream import (
+            run_stream_to_parquet,
+        )
+
+        base = tempfile.mkdtemp(prefix="stream_gate_")
+        in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+        turns = _docs_as_transcripts(spark, sf).select(
+            "conv_id", "turn_idx",
+            F.lit("user").alias("role"), "text",
+            F.lit(None).cast("string").alias("tool"), "ts",
+        )
+        turns.repartition(16).write.mode("overwrite").parquet(in_dir)
+        q_ = run_stream_to_parquet(spark, in_dir, out_dir, ckpt,
+                                   sessionize_per_batch=False)
+        q_.awaitTermination(300)
+        out = spark.read.parquet(out_dir)
+        return out.select(
+            F.col("conv_id").alias("source"),
+            F.col("turn_idx").alias("doc_id"),
+            "text_clean", "confidence",
+        )
+    q["streaming_extract"] = q_streaming_extract
+
     def q_media_features(spark, sf):
         media = multimodal.synthetic_media(spark, n=48)
         return multimodal.decode_features(media).select(
@@ -1787,6 +1819,15 @@ def oracle_sql() -> dict[str, str]:
               [CAST(p_partkey*10+2 AS INT)], CAST(NULL AS DOUBLE),
               CAST(NULL AS VARCHAR[])
             FROM base WHERE NOT merged
+        """,
+        "streaming_extract": f"""
+            WITH inp AS ({_INJECT_SQL}),
+            cleaned AS ({_clean_sql("inp", "source, doc_id")}),
+            conf AS ({_confidence_sql("cleaned", "source, doc_id", "text_clean",
+                                      rounded=True, out="confidence")})
+            SELECT c.source, c.doc_id, c.text_clean, cf.confidence
+            FROM cleaned c
+            JOIN conf cf ON cf.source = c.source AND cf.doc_id = c.doc_id
         """,
         "media_features_docs": r"""
             WITH a AS (
