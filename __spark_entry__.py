@@ -449,6 +449,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["visit_sessionize"] = q_visit_sessionize
 
+    def q_visit_sessionize_skew(spark, sf):
+        """W2 via the skew-aware two-level prefix sum (bucket_size=4 so
+        multi-bucket paths actually execute at sf0.01) — value-equal to
+        the single-window variant, same oracle."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import (
+            assign_visits_skew_aware,
+        )
+        d = _read(spark, sf, "documents")
+        turns = d.select(
+            F.col("source").alias("conv_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+            F.col("text").rlike(r"\bspark\b").alias("is_boundary"),
+        )
+        return assign_visits_skew_aware(turns, bucket_size=4).select(
+            F.col("conv_id").alias("source"),
+            F.col("turn_idx").alias("doc_id"),
+            "visit_id",
+        )
+    q["visit_sessionize_skew"] = q_visit_sessionize_skew
+
     def q_visit_rollup(spark, sf):
         """W3/W4/A1/A3 rollup per (source, visit_id) on top of the
         sessionized documents; int-exact aggregates + one explicit
@@ -1753,6 +1774,12 @@ def oracle_sql() -> dict[str, str]:
     tok_re = corpus.TOKEN_REGEX.replace("'", "''")
     return {
         "visit_sessionize": f"""
+            WITH {_VISIT_SESSIONIZE_CTE}
+            SELECT source, CAST(doc_id AS INT) AS doc_id,
+                   printf('visit_%03d', CAST(visit_seq AS INT)) AS visit_id
+            FROM seq
+        """,
+        "visit_sessionize_skew": f"""
             WITH {_VISIT_SESSIONIZE_CTE}
             SELECT source, CAST(doc_id AS INT) AS doc_id,
                    printf('visit_%03d', CAST(visit_seq AS INT)) AS visit_id
