@@ -909,6 +909,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["transcript_pipeline"] = q_transcript_pipeline
 
+    def q_lineage_checksum(spark, sf):
+        """S10/§7.1 lineage: per-partition (count, XOR-of-row-hash) rows
+        rolled up globally — XOR is partition-layout-independent, so the
+        global checksum is deterministic and DuckDB-verifiable with the
+        md5-derived row hash."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.sources.lineage import (
+            lineage_rows,
+        )
+        d = _read(spark, sf, "documents")
+        rows = lineage_rows(d, "gate", "documents", ["doc_id", "text"],
+                            hash_fn="md5")
+        return rows.agg(
+            F.sum("rows").alias("rows_total"),
+            F.expr("bit_xor(checksum)").alias("checksum_total"),
+        )
+    q["lineage_checksum"] = q_lineage_checksum
+
+    def q_canonical_json(spark, sf):
+        """S6 canonical JSON sink shape: to_json(struct(...)) per visit
+        (int/string fields only — float JSON rendering is
+        engine-specific)."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.extract import extract_turns
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import (
+            assign_visits,
+            visit_rollup,
+        )
+        visits = visit_rollup(
+            assign_visits(extract_turns(_docs_as_transcripts(spark, sf),
+                                        with_sections=False)),
+            include_raw_text=False,
+        )
+        return visits.select(
+            F.col("conv_id").alias("source"),
+            F.col("visit_id"),
+            F.to_json(
+                F.struct(
+                    F.col("conv_id"), F.col("visit_id"),
+                    F.col("turn_count"), F.col("first_turn"), F.col("last_turn"),
+                )
+            ).alias("visit_json"),
+        )
+    q["canonical_json"] = q_canonical_json
+
     def q_streaming_extract(spark, sf):
         """Structured Streaming extraction through a real availableNow
         stream (readStream -> extract_turns -> checkpointed foreachBatch
@@ -1846,6 +1889,30 @@ def oracle_sql() -> dict[str, str]:
               [CAST(p_partkey*10+2 AS INT)], CAST(NULL AS DOUBLE),
               CAST(NULL AS VARCHAR[])
             FROM base WHERE NOT merged
+        """,
+        "lineage_checksum": """
+            SELECT COUNT(*) AS rows_total,
+              bit_xor(CAST(concat('0x',
+                substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || text), 1, 15))
+                AS BIGINT)) AS checksum_total
+            FROM documents
+        """,
+        "canonical_json": f"""
+            WITH inp AS ({_INJECT_SQL}),
+            cleaned AS ({_clean_sql("inp", "source, doc_id")}),
+            {_SESSIONIZE_CLEANED_CTE},
+            visits AS (
+              SELECT source, printf('visit_%03d', CAST(visit_seq AS INT)) AS visit_id,
+                COUNT(*) AS turn_count, MIN(doc_id) AS first_turn,
+                MAX(doc_id) AS last_turn
+              FROM seq GROUP BY 1, 2
+            )
+            SELECT source, visit_id,
+              to_json(struct_pack(
+                conv_id := source, visit_id := visit_id,
+                turn_count := turn_count, first_turn := first_turn,
+                last_turn := last_turn))::VARCHAR AS visit_json
+            FROM visits
         """,
         "streaming_extract": f"""
             WITH inp AS ({_INJECT_SQL}),

@@ -14,8 +14,17 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def lineage_rows(df: DataFrame, run_id: str, stage: str,
-                 key_cols: list[str]) -> DataFrame:
-    h = F.xxhash64(*[F.col(c) for c in key_cols])
+                 key_cols: list[str], hash_fn: str = "xxhash64") -> DataFrame:
+    """hash_fn='md5' derives the 60-bit row hash from the md5 hex prefix
+    of the unit-separator-joined key columns — engine-portable, so the
+    GLOBAL checksum (XOR is partition-layout-independent) can be
+    verified by an external engine."""
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("\x1f", *key_cols)), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.xxhash64(*[F.col(c) for c in key_cols])
     return (
         df.withColumn("_pid", F.spark_partition_id())
         .withColumn("_h", h)
