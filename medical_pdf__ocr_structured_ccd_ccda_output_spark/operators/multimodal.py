@@ -32,7 +32,7 @@ MEDIA_SCHEMA = T.StructType([
 
 FEATURE_SCHEMA = (
     "media_id long, media_type string, n_bytes int, "
-    "feature array<float>, decode_status string"
+    "feature array<float>, hist array<int>, decode_status string"
 )
 
 _FEATURE_DIM = 16
@@ -75,10 +75,11 @@ def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
                     "media codecs unavailable in this environment; "
                     "plug PIL/torchaudio/pyav here"
                 )
-            feats, nbytes, status = [], [], []
+            feats, hists, nbytes, status = [], [], [], []
             for payload in pdf["payload"]:
                 if payload is None:
                     feats.append(None)
+                    hists.append(None)
                     nbytes.append(0)
                     status.append("empty")
                     continue
@@ -86,6 +87,9 @@ def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
                 hist = np.bincount(arr % _FEATURE_DIM, minlength=_FEATURE_DIM)
                 denom = max(len(arr), 1)
                 feats.append((hist / denom).astype("float32").tolist())
+                # exact integer histogram: the contract-surface twin of
+                # `feature` (float lists aren't portably serializable)
+                hists.append([int(x) for x in hist])
                 nbytes.append(len(arr))
                 status.append("stub")
             yield pd.DataFrame({
@@ -93,6 +97,7 @@ def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
                 "media_type": pdf["media_type"],
                 "n_bytes": pd.Series(nbytes, dtype="int32"),
                 "feature": feats,
+                "hist": hists,
                 "decode_status": status,
             })
 

@@ -37,6 +37,36 @@ def rows_to_multiset(cols, rows):
     return Counter(tuple(norm_val(r[i]) for i in order) for r in rows)
 
 
+def driver_surface_issues(name, spark_pdf, duck_pdf):
+    """Replicate the two failure modes of the driver's pandas-level
+    canonicalizer that fetchall()-based value compare cannot see
+    (CORRECTNESS_r01 regressions):
+
+    * list/ndarray cells -> 'unhashable type: list' in its sort;
+    * int-vs-float dtype drift (DuckDB HUGEINT sums widen to float64
+      in fetchdf) -> hash mismatch even when values are equal.
+    """
+    issues = []
+    for pdf, side in ((spark_pdf, "spark"), (duck_pdf, "duckdb")):
+        for c in pdf.columns:
+            col = pdf[c]
+            if col.dtype == object and col.map(
+                lambda v: isinstance(v, (list, tuple)) or hasattr(v, "__array__")
+            ).any():
+                issues.append(
+                    f"{side}.{c} has array-typed cells (driver canonicalizer crash)"
+                )
+    for c in sorted(set(spark_pdf.columns) & set(duck_pdf.columns)):
+        ks, kd = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        ints, floats = {"i", "u"}, {"f"}
+        if (ks in ints and kd in floats) or (ks in floats and kd in ints):
+            issues.append(
+                f"col {c}: dtype drift spark={spark_pdf[c].dtype} "
+                f"duckdb={duck_pdf[c].dtype} (driver hash mismatch)"
+            )
+    return issues
+
+
 def main():
     import duckdb
 
@@ -93,6 +123,13 @@ def main():
                 diff_d = list((md - ms).items())[:3]
                 failures.append((name, f"values spark-only={diff_s} duck-only={diff_d}"))
                 ok = False
+            else:
+                issues = driver_surface_issues(
+                    name, sdf.toPandas(), con.execute(oracles[name]).fetchdf()
+                )
+                if issues:
+                    failures.append((name, "; ".join(issues)))
+                    ok = False
         print(f"[{'OK  ' if ok else 'FAIL'}] {name}: {len(s_rows)} rows")
     print()
     if failures:
