@@ -894,7 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        return similarity.lsh_topk(emb, queries_df, k=5, n_planes=6, n_tables=12)
+        return similarity.lsh_topk(emb, queries_df, k=5, n_planes=6, n_tables=12,
+                                   dim=64)
     q["ann_lsh"] = q_ann_lsh
 
     def q_ann_lsh_md5(spark, sf):

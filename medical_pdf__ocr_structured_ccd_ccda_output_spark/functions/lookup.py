@@ -105,23 +105,29 @@ def code_lookup_join(df: DataFrame, text_col: str,
         [(i, k, c, k.title()) for i, (k, c) in enumerate(code_map)],
         ["_prio", "_key", "_code", "_display"],
     )
-    hit = df.join(
-        F.broadcast(codes),
-        F.lower(F.col(text_col)).contains(F.col("_key")),
-        "left",
+    # resolve first-match per DISTINCT text value, then equi-join back:
+    # grouping by every input column would collapse duplicate rows
+    # (multiplicity bug) and fails on non-groupable (map) columns
+    keys = df.select(F.lower(F.col(text_col)).alias("_low")).distinct()
+    best = (
+        keys.join(F.broadcast(codes), F.col("_low").contains(F.col("_key")), "left")
+        .groupBy("_low")
+        .agg(F.min(F.struct("_prio", "_code", "_display")).alias("_best"))
     )
-    best = F.min(F.struct("_prio", "_code", "_display")).alias("_best")
-    grouped = hit.groupBy(*[F.col(c) for c in df.columns]).agg(best)
-    return grouped.withColumn(
-        out_col,
-        F.when(
-            F.col("_best._code").isNotNull(),
-            F.struct(
-                F.col("_best._code").alias("code"),
-                F.col("_best._display").alias("display"),
+    return (
+        df.join(best, F.lower(F.col(text_col)) == best["_low"], "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_best._code").isNotNull(),
+                F.struct(
+                    F.col("_best._code").alias("code"),
+                    F.col("_best._display").alias("display"),
+                ),
             ),
-        ),
-    ).drop("_best")
+        )
+        .drop("_low", "_best")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -49,8 +49,15 @@ def enrich_excerpts(entities: DataFrame, lines: DataFrame,
     the entity key, case-insensitively.  Preserves input multiplicity
     (each entity row yields exactly one output row)."""
     # unique row key so duplicate entities each keep their own output row;
-    # dropped before returning, so plan-level nondeterminism cannot leak.
-    ent = entities.withColumn("_eid", F.monotonically_increasing_id()).alias("e")
+    # deterministic (row_number over a total order of the input columns —
+    # SURVEY O5 bans monotonically_increasing_id): identical rows are
+    # interchangeable, so the assignment is value-stable under task
+    # retries/AQE.  The window partitions on conv_id, the same key as the
+    # join below, so its exchange is reused.
+    w = Window.partitionBy("conv_id").orderBy(
+        *[F.col(c) for c in entities.columns]
+    )
+    ent = entities.withColumn("_eid", F.row_number().over(w)).alias("e")
     needle = F.lower(F.col(f"e.{key_col}"))
     skip = (
         F.col(f"e.{key_col}").isNull()

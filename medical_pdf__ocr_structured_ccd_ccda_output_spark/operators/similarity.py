@@ -109,6 +109,8 @@ def lsh_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
 
     @pandas_udf("array<string>")
     def _buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # empty Arrow batch (empty partition): vstack raises
+            return pd.Series([], dtype=object)
         M = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
         proj = (M @ P.T) >= 0  # (n, L*H) sign bits
         out = []

@@ -98,8 +98,12 @@ def stateful_sessionize(extracted_stream: DataFrame) -> DataFrame:
             started, b = state.get
         else:
             started, b = False, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("turn_idx")
+        # one concat+sort over the whole micro-batch group: a group that
+        # spans multiple Arrow chunks (>maxRecordsPerBatch rows) must not
+        # be sorted chunk-by-chunk or turns process out of order
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("turn_idx")
             seqs = []
             for is_b in pdf["is_boundary"]:
                 if started and bool(is_b):

@@ -162,7 +162,7 @@ def test_lsh_topk_recall(spark, emb):
     queries = emb.limit(10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     exact = similarity.brute_force_topk(emb, queries, k=5).collect()
-    approx = similarity.lsh_topk(emb, queries, k=5, n_planes=6, n_tables=12).collect()
+    approx = similarity.lsh_topk(emb, queries, k=5, n_planes=6, n_tables=12, dim=64).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
