@@ -43,6 +43,20 @@ _KIND_SPEC = {
         "fields": ["test_name", "value", "unit", "reference_range", "abnormal_flag"],
         "merge": rules.merge_lab_results,
     },
+    # list-typed visit fields beyond the reference's dedup service,
+    # merged with the same exact+fuzzy first-wins semantics
+    "allergy": {
+        "key": "substance",
+        "fields": ["substance"],
+        "merge": lambda recs, thr: rules.merge_simple(
+            recs, "substance", [], thr, type_name="allergy"),
+    },
+    "plan": {
+        "key": "action",
+        "fields": ["action", "category"],
+        "merge": lambda recs, thr: rules.merge_simple(
+            recs, "action", ["category"], thr, type_name="plan"),
+    },
 }
 
 

@@ -87,3 +87,112 @@ def extract_lab_results(turns: DataFrame) -> DataFrame:
             F.col("line_no").alias("source_line_in_turn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vitals / allergies / plan (canonical_schema.py:64-94,140-180; line
+# grammar defined in rules.py §13, shared with the pytest oracle)
+# ---------------------------------------------------------------------------
+
+from .. import rules  # noqa: E402  (late import keeps the header tidy)
+
+_BULLET = rules.BULLET_PREFIX_PATTERN
+
+
+def _canonical_vital_expr(label):
+    """Normalized-label -> canonical vital key (exact-equality when-chain
+    over rules.VITAL_LABEL_MAP)."""
+    norm = F.trim(F.regexp_replace(F.lower(label), r"\s+", " "))
+    expr = F.lit(None).cast("string")
+    for key, canonical in reversed(rules.VITAL_LABEL_MAP):
+        expr = F.when(norm == key, F.lit(canonical)).otherwise(expr)
+    return expr
+
+
+def extract_vitals(turns: DataFrame) -> DataFrame:
+    """VITAL SIGNS section lines -> one row per recognized vital with the
+    BloodPressure range validation flag (40-300 / 20-200,
+    canonical_schema.py:75-76).  Pure JVM regex."""
+    lines = _section_lines(turns, ("VITAL SIGNS",))
+    g = lambda i: F.regexp_extract(F.col("line"), rules.VITAL_LINE_PATTERN, i)  # noqa: E731
+    parsed = (
+        lines.filter(F.col("line").rlike(rules.VITAL_LINE_PATTERN))
+        .select(
+            "conv_id", "visit_id",
+            _canonical_vital_expr(g(1)).alias("vital_name"),
+            F.nullif(g(2), F.lit("")).cast("double").alias("_v1"),
+            F.nullif(g(3), F.lit("")).cast("double").alias("_v2"),
+            F.nullif(g(4), F.lit("")).alias("_unit"),
+            F.col("turn_idx").alias("source_page"),
+            F.col("line_no").alias("source_line_in_turn"),
+        )
+        .filter(F.col("vital_name").isNotNull())
+    )
+    is_bp = F.col("vital_name") == "blood_pressure"
+    # slash form belongs to BP only; BP without the slash form is dropped
+    parsed = parsed.filter(
+        (is_bp & F.col("_v2").isNotNull())
+        | (~is_bp & F.col("_v2").isNull())
+    )
+    lo_s, hi_s = rules.BP_SYSTOLIC_RANGE
+    lo_d, hi_d = rules.BP_DIASTOLIC_RANGE
+    return parsed.select(
+        "conv_id", "visit_id", "vital_name",
+        F.when(~is_bp, F.col("_v1")).alias("value"),
+        F.when(is_bp, F.col("_v1")).alias("systolic"),
+        F.when(is_bp, F.col("_v2")).alias("diastolic"),
+        F.when(is_bp, F.coalesce(F.col("_unit"), F.lit("mmHg")))
+        .otherwise(F.col("_unit")).alias("unit"),
+        F.when(
+            is_bp,
+            F.col("_v1").between(lo_s, hi_s) & F.col("_v2").between(lo_d, hi_d),
+        ).otherwise(F.lit(True)).alias("bp_valid"),
+        "source_page", "source_line_in_turn",
+    )
+
+
+def extract_allergies(turns: DataFrame) -> DataFrame:
+    """ALLERGIES section lines -> substance strings (bullets stripped,
+    no-allergy markers dropped — rules.ALLERGY_NEGATIONS)."""
+    lines = _section_lines(turns, ("ALLERGIES",))
+    substance = F.trim(F.regexp_replace(F.col("line"), _BULLET, ""))
+    norm = F.trim(F.regexp_replace(F.lower(substance), r"\s+", " "))
+    return (
+        lines.select(
+            "conv_id", "visit_id",
+            substance.alias("substance"),
+            norm.alias("_norm"),
+            F.col("turn_idx").alias("source_page"),
+            F.col("line_no").alias("source_line_in_turn"),
+        )
+        .filter(
+            (F.col("substance") != "")
+            & ~F.col("_norm").isin(*sorted(rules.ALLERGY_NEGATIONS))
+        )
+        .drop("_norm")
+    )
+
+
+def _plan_category_expr(action):
+    low = F.lower(action)
+    expr = F.lit("other")
+    for key, cat in reversed(rules.PLAN_CATEGORY_RULES):
+        expr = F.when(low.contains(key), F.lit(cat)).otherwise(expr)
+    return expr
+
+
+def extract_plan_items(turns: DataFrame) -> DataFrame:
+    """PLAN section lines -> PlanItem rows with the ordered-keyword
+    category (rules.PLAN_CATEGORY_RULES; enums.py PlanCategory)."""
+    lines = _section_lines(turns, ("PLAN",))
+    action = F.trim(F.regexp_replace(F.col("line"), _BULLET, ""))
+    return (
+        lines.select(
+            "conv_id", "visit_id",
+            action.alias("action"),
+            _plan_category_expr(action).alias("category"),
+            F.col("turn_idx").alias("source_page"),
+            F.col("line_no").alias("source_line_in_turn"),
+        )
+        .filter(F.col("action") != "")
+    )

@@ -46,6 +46,54 @@ class PipelineResult:
     metrics: DataFrame
     lineage: dict[str, DataFrame] = field(default_factory=dict)
     ccd_xml: DataFrame | None = None
+    quarantine: DataFrame | None = None
+
+
+def conversation_quality(transcripts: DataFrame) -> DataFrame:
+    """P1 ingest validation (pdf_service.py:28-99 analog) as one map-side-
+    combinable aggregate per conversation: turn-count bounds, total size,
+    emptiness, encrypted marker.  Returns (conv_id, n_turns, total_chars,
+    n_nonempty, warnings array, quarantined bool); warning order matches
+    rules.conversation_warnings."""
+    import pyspark.sql.functions as F
+
+    from . import rules
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    agg = transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.length(txt)).cast("long").alias("total_chars"),
+        F.count(F.when(F.length(F.trim(txt)) > 0, 1)).alias("n_nonempty"),
+        F.max(txt.contains(rules.ENCRYPTED_MARKER)).alias("_has_encrypted"),
+    )
+    warnings = F.array_compact(F.array(
+        F.when(F.col("_has_encrypted"), F.lit("encrypted")),
+        F.when(F.col("n_turns") > rules.MAX_TURNS_PER_CONV,
+               F.lit("too_many_pages")),
+        F.when(F.col("total_chars") > rules.MAX_CONV_CHARS,
+               F.lit("file_too_large")),
+        F.when(F.col("n_nonempty") == 0, F.lit("no_pages")),
+    ))
+    return agg.select(
+        "conv_id", "n_turns", "total_chars", "n_nonempty",
+        warnings.alias("warnings"),
+        (F.size(warnings) > 0).alias("quarantined"),
+    )
+
+
+def apply_quarantine(transcripts: DataFrame,
+                     quality: DataFrame | None = None
+                     ) -> tuple[DataFrame, DataFrame]:
+    """(clean_turns, quarantine_rows).  The quarantined-conversation list
+    is expected to be tiny relative to the corpus, so the turn-level
+    filter is a broadcast anti/semi join on conv_id — no extra shuffle
+    of the big side."""
+    import pyspark.sql.functions as F
+
+    quality = quality if quality is not None else conversation_quality(transcripts)
+    bad = quality.filter(F.col("quarantined")).select("conv_id")
+    clean = transcripts.join(F.broadcast(bad), "conv_id", "left_anti")
+    return clean, quality.filter(F.col("quarantined"))
 
 
 def run_pipeline(spark: SparkSession, transcripts: DataFrame,
@@ -54,7 +102,11 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  skew_bucket_size: int = 100_000,
                  with_entities: bool = True,
                  with_xml: bool = True,
-                 include_raw_text: bool = True) -> PipelineResult:
+                 include_raw_text: bool = True,
+                 with_validation: bool = True) -> PipelineResult:
+    quarantine = None
+    if with_validation:
+        transcripts, quarantine = apply_quarantine(transcripts)
     extracted = extract_turns(transcripts, with_sections=True)
     if skew_aware:
         turns = assign_visits_skew_aware(extracted, bucket_size=skew_bucket_size)
@@ -105,4 +157,5 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         metrics=metrics,
         lineage=lineage,
         ccd_xml=xml,
+        quarantine=quarantine,
     )

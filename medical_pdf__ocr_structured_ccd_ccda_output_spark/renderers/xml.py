@@ -14,6 +14,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 HL7_NAMESPACE = "urn:hl7-org:v3"
 ROOT_OID = "2.16.840.1.113883.1.3"
+LOINC_SYSTEM = "2.16.840.1.113883.6.1"
+SNOMED_SYSTEM = "2.16.840.1.113883.6.96"
+GENDER_CODE_SYSTEM = "2.16.840.1.113883.5.1"
+PATIENT_ID_ROOT = "2.16.840.1.113883.3.1"
 
 
 def xml_escape(col: Column) -> Column:
@@ -24,9 +28,19 @@ def xml_escape(col: Column) -> Column:
     return col
 
 
-def _visit_component() -> Column:
+def _visit_component(with_sections: bool = False) -> Column:
     date_attr = F.coalesce(
         F.date_format(F.col("v.visit_date"), "yyyyMMdd"), F.lit("UNK")
+    )
+    # entity sections (problem list / medications / vitals / results /
+    # plan) nest inside the visit section like the reference's
+    # _add_visit_section children (xml_renderer.py:205-212)
+    sections = (
+        F.when(
+            F.col("sections_xml").isNotNull() & (F.col("sections_xml") != ""),
+            F.concat(F.lit("\n"), F.col("sections_xml")),
+        ).otherwise(F.lit(""))
+        if with_sections else F.lit("")
     )
     return F.format_string(
         '    <component>\n'
@@ -35,7 +49,7 @@ def _visit_component() -> Column:
         '        <effectiveTime value="%s"/>\n'
         '        <title>Visit %s</title>\n'
         '        <text mediaType="text/plain">%s</text>\n'
-        '        <entry><observation><value unit="confidence">%.4f</value></observation></entry>\n'
+        '        <entry><observation><value unit="confidence">%.4f</value></observation></entry>%s\n'
         '      </section>\n'
         '    </component>',
         F.col("v.visit_id"),
@@ -43,13 +57,20 @@ def _visit_component() -> Column:
         F.col("v.visit_id"),
         xml_escape(F.col("v.raw_text")),
         F.col("v.confidence"),
+        sections,
     )
 
 
-def render_ccd_xml(visits: DataFrame) -> DataFrame:
+def render_ccd_xml(visits: DataFrame, sections: DataFrame | None = None,
+                   patients: DataFrame | None = None) -> DataFrame:
     """visits = visit_rollup output (must include raw_text).
+    Optional `sections` = entity_sections() output joined per visit;
+    optional `patients` (conv_id, patient_id, patient_name, dob, sex)
+    renders a real recordTarget instead of the UNK stub.
     Returns (conv_id, ccd_xml)."""
-    comp = _visit_component()
+    if sections is not None:
+        visits = visits.join(sections, ["conv_id", "visit_id"], "left")
+    comp = _visit_component(with_sections=sections is not None)
     per_conv = (
         visits.alias("v")
         .groupBy("conv_id")
@@ -67,6 +88,20 @@ def render_ccd_xml(visits: DataFrame) -> DataFrame:
             F.bround(F.avg("v.confidence"), 4).alias("_avg_conf"),
         )
     )
+    if patients is not None:
+        per_conv = per_conv.join(demographics_xml(patients), "conv_id", "left")
+        record_target = F.coalesce(
+            F.col("record_target_xml"),
+            F.lit('<recordTarget><patientRole><id nullFlavor="UNK"/>'
+                  '<patient><name nullFlavor="UNK"/></patient>'
+                  '</patientRole></recordTarget>'),
+        )
+    else:
+        record_target = F.lit(
+            '<recordTarget><patientRole><id nullFlavor="UNK"/>'
+            '<patient><name nullFlavor="UNK"/></patient>'
+            '</patientRole></recordTarget>'
+        )
     header = F.format_string(
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         '<ClinicalDocument xmlns="%s">\n'
@@ -75,8 +110,7 @@ def render_ccd_xml(visits: DataFrame) -> DataFrame:
         '  <id root="2.16.840.1.113883.19" extension="doc_%s"/>\n'
         '  <title>Medical Record Summary (OCR-Processed)</title>\n'
         '  <confidentialityCode code="N" codeSystem="2.16.840.1.113883.5.25"/>\n'
-        '  <recordTarget><patientRole><id nullFlavor="UNK"/>'
-        '<patient><name nullFlavor="UNK"/></patient></patientRole></recordTarget>\n'
+        '  %s\n'
         '  <component><structuredBody>\n'
         '%s\n'
         '  </structuredBody></component>\n'
@@ -84,6 +118,285 @@ def render_ccd_xml(visits: DataFrame) -> DataFrame:
         F.lit(HL7_NAMESPACE),
         F.lit(ROOT_OID),
         F.col("conv_id"),
+        record_target,
         F.col("_components"),
     )
     return per_conv.select("conv_id", header.alias("ccd_xml"))
+
+
+# ---------------------------------------------------------------------------
+# Per-entity CCDA sections (xml_renderer.py:205-453 parity: per-visit
+# problem list / medications / vital signs / results / plan components,
+# coded entries per xml_renderer_v2.py:664-676)
+# ---------------------------------------------------------------------------
+
+
+def _na(col: Column) -> Column:
+    """'' / null -> N/A table-cell fallback (xml_renderer.py `or \"N/A\"`)."""
+    return F.when(col.isNull() | (col == ""), F.lit("N/A")).otherwise(col)
+
+
+def _section_xml(code: str, display: str, title: str, body: Column) -> Column:
+    return F.format_string(
+        '      <component>\n'
+        '        <section>\n'
+        '          <code code="%s" codeSystem="%s" displayName="%s"/>\n'
+        '          <title>%s</title>\n'
+        '          <text>%s</text>\n'
+        '        </section>\n'
+        '      </component>',
+        F.lit(code), F.lit(LOINC_SYSTEM), F.lit(display), F.lit(title), body,
+    )
+
+
+def _agg_rows(df: DataFrame, row: Column, sep: str = "") -> DataFrame:
+    """(conv_id, visit_id, xml): document-order concatenation of rendered
+    rows — sort key (source_page, source_line_in_turn) mirrors the
+    reference's list order."""
+    order = F.struct(
+        F.col("source_page"), F.col("source_line_in_turn"), row.alias("r")
+    )
+    return df.groupBy("conv_id", "visit_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(order)), lambda s: s["r"]),
+            sep,
+        ).alias("xml")
+    )
+
+
+def _coded_entry(text_col: Column, code_map: list[tuple[str, str]],
+                 system: str) -> Column:
+    """First-match substring code lookup -> <entry> element or ''
+    (xml_renderer_v2.py:664-676)."""
+    hit = F.lit(None).cast("struct<code:string,display:string>")
+    low = F.lower(text_col)
+    for key, code in reversed(code_map):
+        hit = F.when(
+            low.contains(key),
+            F.struct(F.lit(code).alias("code"),
+                     F.lit(key.title()).alias("display")),
+        ).otherwise(hit)
+    return F.when(
+        hit.isNotNull(),
+        F.format_string(
+            '<entry><observation><code code="%s" displayName="%s" '
+            'codeSystem="%s"/></observation></entry>',
+            hit["code"], hit["display"], F.lit(system),
+        ),
+    ).otherwise(F.lit(""))
+
+
+def problem_section(problems: DataFrame) -> DataFrame:
+    """Problem List (LOINC 11450-4, xml_renderer.py:252-279) + SNOMED
+    coded entries.  Expects extract_problems/dedup output columns."""
+    from .. import rules
+
+    item_text = F.concat(
+        xml_escape(F.col("problem")),
+        F.when(F.col("icd10_code").isNotNull(),
+               F.concat(F.lit(" ("), F.col("icd10_code"), F.lit(")"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("source_page").isNotNull(),
+               F.format_string(" [Page %d]", F.col("source_page"))
+               ).otherwise(F.lit("")),
+    )
+    row = F.concat(
+        F.format_string("<item>%s</item>", item_text),
+        _coded_entry(F.col("problem"), rules.SNOMED_CODES, SNOMED_SYSTEM),
+    )
+    agg = _agg_rows(problems, row)
+    return agg.select(
+        "conv_id", "visit_id",
+        _section_xml("11450-4", "Problem List", "Problem List",
+                     F.format_string("<list>%s</list>", F.col("xml"))
+                     ).alias("problems_xml"),
+    )
+
+
+_MED_HEADER = (
+    "<thead><tr><th>Medication</th><th>Dose</th><th>Frequency</th>"
+    "<th>Route</th><th>Source Page</th></tr></thead>"
+)
+
+
+def medication_section(medications: DataFrame) -> DataFrame:
+    """Medication History (LOINC 10160-0, xml_renderer.py:281-326)."""
+    row = F.format_string(
+        "<tr><td>%s</td><td>%s</td><td>%s</td><td>%s</td><td>%s</td></tr>",
+        xml_escape(F.col("name")), _na(F.col("dose")),
+        _na(F.col("frequency")), _na(F.col("route")),
+        _na(F.col("source_page").cast("string")),
+    )
+    agg = _agg_rows(medications, row)
+    return agg.select(
+        "conv_id", "visit_id",
+        _section_xml(
+            "10160-0", "Medication History", "Medications",
+            F.format_string("<table>%s<tbody>%s</tbody></table>",
+                            F.lit(_MED_HEADER), F.col("xml")),
+        ).alias("medications_xml"),
+    )
+
+
+def vitals_section(vitals: DataFrame) -> DataFrame:
+    """Vital Signs (LOINC 8716-3, xml_renderer.py:328-353).  Like the
+    reference, only single-value vitals render as list items (its loop
+    requires vital_data['value'], which blood_pressure lacks)."""
+    single = vitals.filter(F.col("value").isNotNull())
+    num = F.when(
+        F.col("value") == F.floor("value"),
+        F.col("value").cast("long").cast("string"),
+    ).otherwise(F.col("value").cast("string"))
+    row = F.format_string(
+        "<item>%s</item>",
+        F.rtrim(F.format_string(
+            "%s: %s %s", F.col("vital_name"), num,
+            F.coalesce(F.col("unit"), F.lit("")),
+        )),
+    )
+    agg = _agg_rows(single, row)
+    return agg.select(
+        "conv_id", "visit_id",
+        _section_xml("8716-3", "Vital Signs", "Vital Signs",
+                     F.format_string("<list>%s</list>", F.col("xml"))
+                     ).alias("vitals_xml"),
+    )
+
+
+_RESULT_HEADER = (
+    "<thead><tr><th>Test</th><th>Value</th><th>Unit</th>"
+    "<th>Reference Range</th><th>Flag</th><th>Source Page</th></tr></thead>"
+)
+
+
+def results_section(results: DataFrame) -> DataFrame:
+    """Results (LOINC 30954-2, xml_renderer.py:355-403; flag fallback
+    'normal') + LOINC coded entries."""
+    from .. import rules
+
+    flag = F.when(
+        F.col("abnormal_flag").isNull() | (F.col("abnormal_flag") == ""),
+        F.lit("normal"),
+    ).otherwise(F.col("abnormal_flag"))
+    row = F.concat(
+        F.format_string(
+            "<tr><td>%s</td><td>%s</td><td>%s</td><td>%s</td><td>%s</td>"
+            "<td>%s</td></tr>",
+            xml_escape(F.col("test_name")), _na(F.col("value")),
+            _na(F.col("unit")), _na(F.col("reference_range")), flag,
+            _na(F.col("source_page").cast("string")),
+        ),
+        _coded_entry(F.col("test_name"), rules.LOINC_CODES, LOINC_SYSTEM),
+    )
+    agg = _agg_rows(results, row)
+    return agg.select(
+        "conv_id", "visit_id",
+        _section_xml(
+            "30954-2", "Relevant diagnostic tests/laboratory data", "Results",
+            F.format_string("<table>%s<tbody>%s</tbody></table>",
+                            F.lit(_RESULT_HEADER), F.col("xml")),
+        ).alias("results_xml"),
+    )
+
+
+def plan_section(plan: DataFrame) -> DataFrame:
+    """Plan of Care (LOINC 18776-5, xml_renderer.py:424-453)."""
+    item = F.concat(
+        xml_escape(F.col("action")),
+        F.when(F.col("category").isNotNull(),
+               F.concat(F.lit(" ("), F.col("category"), F.lit(")"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("source_page").isNotNull(),
+               F.format_string(" [Page %d]", F.col("source_page"))
+               ).otherwise(F.lit("")),
+    )
+    agg = _agg_rows(plan, F.format_string("<item>%s</item>", item))
+    return agg.select(
+        "conv_id", "visit_id",
+        _section_xml("18776-5", "Plan of Care", "Plan",
+                     F.format_string("<list>%s</list>", F.col("xml"))
+                     ).alias("plan_xml"),
+    )
+
+
+def entity_sections(medications: DataFrame | None = None,
+                    problems: DataFrame | None = None,
+                    vitals: DataFrame | None = None,
+                    results: DataFrame | None = None,
+                    plan: DataFrame | None = None) -> DataFrame:
+    """(conv_id, visit_id, sections_xml): all per-visit entity sections in
+    reference render order (problems, medications, vitals, results, plan
+    — xml_renderer.py:205-212); absent sections are skipped the way the
+    reference's early returns skip empty lists (concat_ws drops nulls)."""
+    parts = []
+    if problems is not None:
+        parts.append(problem_section(problems))
+    if medications is not None:
+        parts.append(medication_section(medications))
+    if vitals is not None:
+        parts.append(vitals_section(vitals))
+    if results is not None:
+        parts.append(results_section(results))
+    if plan is not None:
+        parts.append(plan_section(plan))
+    if not parts:
+        raise ValueError("at least one entity DataFrame is required")
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.join(p, ["conv_id", "visit_id"], "full_outer")
+    order = ["problems_xml", "medications_xml", "vitals_xml",
+             "results_xml", "plan_xml"]
+    cols = [c for c in order if c in joined.columns]
+    return joined.select(
+        "conv_id", "visit_id",
+        F.concat_ws("\n", *[F.col(c) for c in cols]).alias("sections_xml"),
+    )
+
+
+def demographics_xml(patients: DataFrame) -> DataFrame:
+    """(conv_id, record_target_xml): recordTarget with patient id, parsed
+    name (given/family split, xml_renderer.py:105-170), birthTime and
+    administrativeGenderCode; UNK nullFlavors when absent."""
+    from ..functions.lookup import parse_name_expr
+
+    pid = F.when(
+        F.col("patient_id").isNotNull(),
+        F.format_string('<id extension="%s" root="%s"/>',
+                        F.col("patient_id").cast("string"),
+                        F.lit(PATIENT_ID_ROOT)),
+    ).otherwise(F.lit('<id nullFlavor="UNK"/>'))
+    parsed = parse_name_expr(F.col("patient_name"))
+    name = F.when(
+        F.col("patient_name").isNotNull() & (F.trim(F.col("patient_name")) != ""),
+        F.concat(
+            F.lit("<name>"),
+            F.when(parsed["given"] != "",
+                   F.format_string("<given>%s</given>",
+                                   xml_escape(parsed["given"]))
+                   ).otherwise(F.lit("")),
+            F.when(parsed["family"] != "",
+                   F.format_string("<family>%s</family>",
+                                   xml_escape(parsed["family"]))
+                   ).otherwise(F.lit("")),
+            F.lit("</name>"),
+        ),
+    ).otherwise(F.lit('<name nullFlavor="UNK"/>'))
+    birth = F.when(
+        F.col("dob").isNotNull(),
+        F.format_string('<birthTime value="%s"/>',
+                        F.date_format(F.col("dob"), "yyyyMMdd")),
+    ).otherwise(F.lit('<birthTime nullFlavor="UNK"/>'))
+    sex_code = F.when(
+        F.lower(F.col("sex")).isin("male", "m"), F.lit("M")
+    ).when(F.lower(F.col("sex")).isin("female", "f"), F.lit("F")
+           ).otherwise(F.lit("U"))
+    gender = F.format_string(
+        '<administrativeGenderCode code="%s" codeSystem="%s"/>',
+        F.coalesce(sex_code, F.lit("U")), F.lit(GENDER_CODE_SYSTEM),
+    )
+    block = F.format_string(
+        "<recordTarget><patientRole>%s<patient>%s%s%s</patient>"
+        "</patientRole></recordTarget>",
+        pid, name, birth, gender,
+    )
+    return patients.select("conv_id", block.alias("record_target_xml"))

@@ -701,3 +701,194 @@ def find_excerpt(lines: list[str], needle: str) -> dict:
             end = min(len(line), start + 60)
             return {"source_line": n, "source_excerpt": line[start:end].strip()[:60]}
     return {}
+
+
+# ---------------------------------------------------------------------------
+# 13. Vitals / allergies / plan extraction (deterministic structuring
+#     analog for canonical_schema.py:64-94,140-180; the reference fills
+#     these via its LLM structuring call, so the line grammar below is
+#     this project's own spec, like clean_text)
+# ---------------------------------------------------------------------------
+
+# canonical vital keys follow VitalSigns (canonical_schema.py:81-94)
+VITAL_LABEL_MAP: list[tuple[str, str]] = [
+    ("blood pressure", "blood_pressure"), ("bp", "blood_pressure"),
+    ("temperature", "temperature"), ("temp", "temperature"),
+    ("heart rate", "heart_rate"), ("hr", "heart_rate"),
+    ("pulse", "heart_rate"),
+    ("respiratory rate", "respiratory_rate"), ("rr", "respiratory_rate"),
+    ("oxygen saturation", "oxygen_saturation"),
+    ("o2 sat", "oxygen_saturation"), ("spo2", "oxygen_saturation"),
+    ("weight", "weight"), ("wt", "weight"),
+    ("height", "height"), ("ht", "height"),
+    ("bmi", "bmi"),
+]
+
+# label [:=] value [/ value2] [unit]
+VITAL_LINE_PATTERN = (
+    r"^\s*([A-Za-z][A-Za-z0-9 ]*?)\s*[:=]\s*(\d+(?:\.\d+)?)"
+    r"(?:\s*/\s*(\d+(?:\.\d+)?))?\s*([A-Za-z%/]+)?\s*$"
+)
+_VITAL_LINE_RE = re.compile(VITAL_LINE_PATTERN)
+
+# BloodPressure validation ranges (canonical_schema.py:75-76)
+BP_SYSTOLIC_RANGE = (40.0, 300.0)
+BP_DIASTOLIC_RANGE = (20.0, 200.0)
+
+
+def parse_vital_line(line: str) -> dict | None:
+    """One vitals-section line -> canonical vital dict, or None.
+
+    blood_pressure needs the slash form and carries (systolic, diastolic,
+    bp_valid) with the schema's 40-300 / 20-200 range check; every other
+    vital carries a single `value`.  Unknown labels are skipped."""
+    m = _VITAL_LINE_RE.match(line)
+    if not m:
+        return None
+    label, v1, v2, unit = m.groups()
+    norm = normalize_term(label)
+    canonical = next((c for k, c in VITAL_LABEL_MAP if norm == k), None)
+    if canonical is None:
+        return None
+    if canonical == "blood_pressure":
+        if v2 is None:
+            return None
+        sys_v, dia_v = float(v1), float(v2)
+        return {
+            "vital_name": "blood_pressure", "value": None,
+            "systolic": sys_v, "diastolic": dia_v,
+            "unit": unit or "mmHg",
+            "bp_valid": (BP_SYSTOLIC_RANGE[0] <= sys_v <= BP_SYSTOLIC_RANGE[1]
+                         and BP_DIASTOLIC_RANGE[0] <= dia_v <= BP_DIASTOLIC_RANGE[1]),
+        }
+    if v2 is not None:
+        return None  # slash form only valid for blood pressure
+    return {
+        "vital_name": canonical, "value": float(v1),
+        "systolic": None, "diastolic": None, "unit": unit,
+        "bp_valid": True,
+    }
+
+
+BULLET_PREFIX_PATTERN = r"^\s*(?:[-*•]\s*|\d+[.)]\s*)?"
+ALLERGY_NEGATIONS = {"none", "nkda", "no known allergies",
+                     "no known drug allergies"}
+
+
+def parse_allergy_line(line: str) -> str | None:
+    """Allergy-section line -> substance string (bullets stripped), or
+    None for empties / explicit no-allergy markers (allergies are plain
+    strings in the schema, canonical_schema.py:174)."""
+    s = re.sub(BULLET_PREFIX_PATTERN, "", line).strip()
+    if not s or normalize_term(s) in ALLERGY_NEGATIONS:
+        return None
+    return s
+
+
+# ordered first-match substring rules -> PlanCategory (enums.py:42-50)
+PLAN_CATEGORY_RULES: list[tuple[str, str]] = [
+    ("refer", "referral"),
+    ("follow", "followup"),
+    ("order", "diagnostic"),
+    ("check", "diagnostic"),
+    ("start", "medication"),
+    ("continue", "medication"),
+    ("increase", "medication"),
+    ("decrease", "medication"),
+    ("prescri", "medication"),
+    ("diet", "lifestyle"),
+    ("exercise", "lifestyle"),
+    ("schedule", "procedure"),
+]
+
+
+def categorize_plan_action(action: str) -> str:
+    low = action.lower()
+    for key, cat in PLAN_CATEGORY_RULES:
+        if key in low:
+            return cat
+    return "other"
+
+
+def parse_plan_line(line: str) -> dict | None:
+    """Plan-section line -> {action, category} (PlanItem,
+    canonical_schema.py:140-145), or None for empties."""
+    s = re.sub(BULLET_PREFIX_PATTERN, "", line).strip()
+    if not s:
+        return None
+    return {"action": s, "category": categorize_plan_action(s)}
+
+
+def merge_simple(records: list[dict], key_field: str, fields: list[str],
+                 threshold: float = FUZZY_THRESHOLD, type_name: str = "item"
+                 ) -> tuple[list[dict], list[dict]]:
+    """Generic greedy first-wins merge on `key_field` — the
+    merge_medications shape parameterized for allergy / plan entities
+    (the reference dedups only meds/problems/labs; this extends the same
+    exact+fuzzy semantics to the remaining list-typed visit fields)."""
+    merged: list[dict] = []
+    log: list[dict] = []
+    done: set[int] = set()
+    for i, e1 in enumerate(records):
+        if i in done:
+            continue
+        base = dict(e1)
+        pages = {e1.get("source_page")}
+        group = {i}
+        for j in range(i + 1, len(records)):
+            if j in done:
+                continue
+            e2 = records[j]
+            k1, k2 = e1.get(key_field, ""), e2.get(key_field, "")
+            exact = normalize_term(k1) == normalize_term(k2)
+            sim = None if exact else similarity(k1, k2)
+            if not exact and (sim is None or sim < threshold):
+                continue
+            base = _complete_fields(base, e2, fields, conflicts=False)
+            if not exact:
+                alts = base.setdefault("alternative_representations", [])
+                if k2 not in alts:
+                    alts.append(k2)
+            pages.add(e2.get("source_page"))
+            group.add(j)
+            log.append({
+                "type": type_name, "action": "merged",
+                "reason": "exact_name_match" if exact else "fuzzy_match",
+                "item1": k1, "item2": k2,
+                "similarity": None if exact else round(sim, 2),
+                "threshold": threshold,
+                "source_pages": [e1.get("source_page"), e2.get("source_page")],
+            })
+        base["source_pages"] = sorted(p for p in pages if p is not None)
+        if len(pages) > 1:
+            base["merge_confidence"] = 0.95
+        merged.append(base)
+        done.update(group)
+    return merged, log
+
+
+# ---------------------------------------------------------------------------
+# 14. Ingest validation / quarantine (P1, pdf_service.py:28-99 analog:
+#     size / page-count / emptiness / encryption checks become
+#     per-conversation predicates; violations quarantine the conversation
+#     instead of aborting the run)
+# ---------------------------------------------------------------------------
+
+MAX_TURNS_PER_CONV = 100              # max_page_count analog
+MAX_CONV_CHARS = 50 * 1024 * 1024     # 50MB max_file_size analog
+ENCRYPTED_MARKER = "[ENCRYPTED]"      # password-protected analog
+
+
+def conversation_warnings(n_turns: int, total_chars: int,
+                          n_nonempty: int, has_encrypted: bool) -> list[str]:
+    """Ordered warning codes for one conversation; non-empty => quarantine."""
+    w = []
+    if has_encrypted:
+        w.append("encrypted")
+    if n_turns > MAX_TURNS_PER_CONV:
+        w.append("too_many_pages")
+    if total_chars > MAX_CONV_CHARS:
+        w.append("file_too_large")
+    if n_nonempty == 0:
+        w.append("no_pages")
+    return w
