@@ -1036,6 +1036,248 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["media_features_docs"] = q_media_features_docs
 
+    # ---- round-2 operators: vitals/allergies/plan, quarantine, A7/A9 ----
+    def q_vitals_extract(spark, sf):
+        """Vitals extraction with BloodPressure range validation
+        (canonical_schema.py:64-94): synthesized vitals sections with
+        doc-varying BP values run through the real sections_expr +
+        extract_vitals operators; the unknown Glucose label and the
+        slashless-BP form are dropped by the grammar."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import entities
+
+        d = _read(spark, sf, "documents")
+        sys_v = (F.col("doc_id") % 400).cast("int")
+        dia_v = (F.col("doc_id") % 250).cast("int")
+        hr_v = (F.lit(40) + F.col("doc_id") % 140).cast("int")
+        txt = F.format_string(
+            "VITAL SIGNS\nBP: %d/%d\nHR: %d bpm\nTemp: 98.6 F\nGlucose: 101 mg/dL",
+            sys_v, dia_v, hr_v,
+        )
+        turns = d.select(
+            F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("conv_id"),
+            F.lit("visit_001").alias("visit_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            sections_expr(txt).alias("sections"),
+        )
+        return entities.extract_vitals(turns).select(
+            "conv_id", "vital_name", "value", "systolic", "diastolic",
+            "unit", "bp_valid",
+            F.col("source_line_in_turn").cast("int").alias("line_no"),
+        )
+    q["vitals_extract"] = q_vitals_extract
+
+    def q_allergies_plan(spark, sf):
+        """Allergy + plan-item extraction (canonical_schema.py:140-180):
+        bullets stripped, NKDA dropped, ordered-keyword plan categories
+        — one row per extracted item, kind in {allergy, plan}."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import entities
+
+        d = _read(spark, sf, "documents")
+        txt = F.format_string(
+            "ALLERGIES:\n- Penicillin\n- Drug %d\n- NKDA\n"
+            "PLAN\n1. Start agent %d tablets\nRefer to specialist\nzz",
+            (F.col("doc_id") % 5).cast("int"), (F.col("doc_id") % 9).cast("int"),
+        )
+        turns = d.select(
+            F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("conv_id"),
+            F.lit("visit_001").alias("visit_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            sections_expr(txt).alias("sections"),
+        )
+        al = entities.extract_allergies(turns).select(
+            "conv_id", F.lit("allergy").alias("kind"),
+            F.col("substance").alias("item"),
+            F.lit(None).cast("string").alias("category"),
+            F.col("source_line_in_turn").cast("int").alias("line_no"),
+        )
+        pl = entities.extract_plan_items(turns).select(
+            "conv_id", F.lit("plan").alias("kind"),
+            F.col("action").alias("item"), "category",
+            F.col("source_line_in_turn").cast("int").alias("line_no"),
+        )
+        return al.unionByName(pl)
+    q["allergies_plan"] = q_allergies_plan
+
+    def q_ingest_quarantine(spark, sf):
+        """P1 ingest validation + quarantine (pdf_service.py:28-99
+        analog): per-conversation size/turn-count/emptiness/encrypted
+        checks over documents-as-transcripts with injected violations,
+        plus two synthetic conversations exercising the no-pages and
+        too-many-pages branches."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.pipeline import (
+            conversation_quality,
+        )
+
+        d = _read(spark, sf, "documents")
+        txt = (
+            F.when(F.col("doc_id") % 89 == 0, F.lit(""))
+            .when(F.col("doc_id") % 97 == 0,
+                  F.concat(F.col("text"), F.lit(" [ENCRYPTED]")))
+            .otherwise(F.col("text"))
+        )
+        base = d.select(
+            F.col("source").alias("conv_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            txt.alias("text"),
+        )
+        empty_conv = spark.createDataFrame(
+            [("empty_conv", 1, "   ")], "conv_id string, turn_idx int, text string"
+        )
+        long_conv = (
+            spark.range(1)
+            .select(F.explode(F.sequence(F.lit(1), F.lit(101))).alias("turn_idx"))
+            .select(F.lit("long_conv").alias("conv_id"),
+                    F.col("turn_idx").cast("int"), F.lit("x").alias("text"))
+        )
+        transcripts = base.unionByName(empty_conv).unionByName(long_conv)
+        return conversation_quality(transcripts).select(
+            "conv_id", "n_turns", "total_chars", "n_nonempty",
+            F.array_join("warnings", "|").alias("warnings"),
+            "quarantined",
+        )
+    q["ingest_quarantine"] = q_ingest_quarantine
+
+    def q_problems_merge(spark, sf):
+        """A7 problem merge (deduplication_service.py:233-360): fuzzy
+        match keeps the LONGER representation and tracks the shorter as
+        an alternative; field completion fills status from the merged
+        entry.  Same closed-form Ratcliff-Obershelp family as
+        fuzzy_merge (ratio 2L/(2L+3))."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import dedup
+
+        p = _read(spark, sf, "part")
+        occ = p.select(
+            F.concat(F.lit("c"), F.col("p_partkey").cast("string")).alias("conv_id"),
+            F.lit("visit_001").alias("visit_id"),
+            "p_partkey", "p_name",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("occ"),
+        )
+        entities = occ.select(
+            "conv_id", "visit_id",
+            F.when(F.col("occ") == 2, F.concat(F.col("p_name"), F.lit(" xl")))
+            .otherwise(F.col("p_name")).alias("problem"),
+            F.lit(None).cast("string").alias("icd10_code"),
+            F.when(F.col("occ") == 2, F.lit("active")).alias("status"),
+            (F.col("p_partkey") * 10 + F.col("occ")).cast("int").alias("source_page"),
+        )
+        ent, _ = dedup.split_dedup_output(dedup.dedup_entities(entities, "problem"))
+        return ent.select(
+            "conv_id", "visit_id", "problem", "status",
+            F.array_join(F.col("source_pages").cast("array<string>"), ",")
+            .alias("source_pages"),
+            F.array_join("alternative_representations", ",")
+            .alias("alternative_representations"),
+        )
+    q["problems_merge"] = q_problems_merge
+
+    def q_lab_conflicts(spark, sf):
+        """A9 lab-result merge with value-conflict capture
+        (deduplication_service.py:362-480): same normalized test name,
+        different values -> the later value lands in value_conflicts
+        (JSON) instead of overwriting; merge confidence 0.95."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import dedup
+
+        p = _read(spark, sf, "part")
+        occ = p.select(
+            F.concat(F.lit("c"), F.col("p_partkey").cast("string")).alias("conv_id"),
+            F.lit("visit_001").alias("visit_id"),
+            "p_partkey", "p_name",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("occ"),
+        )
+        entities = occ.select(
+            "conv_id", "visit_id",
+            F.when(F.col("occ") == 2, F.upper("p_name"))
+            .otherwise(F.col("p_name")).alias("test_name"),
+            F.when(F.col("occ") == 2, F.lit("7")).otherwise(F.lit("5")).alias("value"),
+            F.lit("mg/dL").alias("unit"),
+            F.lit(None).cast("string").alias("reference_range"),
+            F.lit(None).cast("string").alias("abnormal_flag"),
+            (F.col("p_partkey") * 10 + F.col("occ")).cast("int").alias("source_page"),
+        )
+        ent, _ = dedup.split_dedup_output(dedup.dedup_entities(entities, "result"))
+        return ent.select(
+            "conv_id", "visit_id", "test_name", "value", "unit",
+            "value_conflicts_json",
+            F.array_join(F.col("source_pages").cast("array<string>"), ",")
+            .alias("source_pages"),
+            "merge_confidence",
+        )
+    q["lab_conflicts"] = q_lab_conflicts
+
+    def q_ccd_xml_entities(spark, sf):
+        """S8 entity-level CCDA: per-visit Problem List / Medications /
+        Vital Signs / Results / Plan sections (LOINC section codes,
+        xml_renderer.py:205-453), SNOMED/LOINC coded entries
+        (xml_renderer_v2.py:664-676), and a real recordTarget with
+        parsed given/family names (xml_renderer.py:105-170) — fully
+        DuckDB-oracled over a deterministic per-part entity family."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.renderers import xml as rx
+
+        p = _read(spark, sf, "part")
+        conv = F.concat(F.lit("c"), F.col("p_partkey").cast("string"))
+        vid = F.lit("visit_001")
+        k = F.col("p_partkey")
+        visits = p.select(
+            conv.alias("conv_id"), vid.alias("visit_id"),
+            F.lit(None).cast("date").alias("visit_date"),
+            F.lit("doc").alias("raw_text"),
+            F.lit(0.5).alias("confidence"),
+        )
+        meds = p.select(
+            conv.alias("conv_id"), vid.alias("visit_id"),
+            F.col("p_name").alias("name"), F.lit("10mg").alias("dose"),
+            F.lit(None).cast("string").alias("frequency"),
+            F.lit(None).cast("string").alias("route"),
+            F.lit(1).alias("source_page"), F.lit(1).alias("source_line_in_turn"),
+        )
+        problems = p.select(
+            conv.alias("conv_id"), vid.alias("visit_id"),
+            F.when(k % 5 == 0, F.lit("anxiety")).otherwise(F.col("p_name"))
+            .alias("problem"),
+            F.lit(None).cast("string").alias("icd10_code"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(2).alias("source_page"), F.lit(1).alias("source_line_in_turn"),
+        )
+        results = p.select(
+            conv.alias("conv_id"), vid.alias("visit_id"),
+            F.when(k % 7 == 0, F.lit("glucose")).otherwise(F.col("p_name"))
+            .alias("test_name"),
+            (k % 90).cast("string").alias("value"),
+            F.lit("mg/dL").alias("unit"),
+            F.lit(None).cast("string").alias("reference_range"),
+            F.lit(None).cast("string").alias("abnormal_flag"),
+            F.lit(3).alias("source_page"), F.lit(1).alias("source_line_in_turn"),
+        )
+        vitals = p.select(
+            conv.alias("conv_id"), vid.alias("visit_id"),
+            F.lit("heart_rate").alias("vital_name"),
+            (F.lit(60) + k % 40).cast("double").alias("value"),
+            F.lit(None).cast("double").alias("systolic"),
+            F.lit(None).cast("double").alias("diastolic"),
+            F.lit("bpm").alias("unit"), F.lit(True).alias("bp_valid"),
+            F.lit(4).alias("source_page"), F.lit(1).alias("source_line_in_turn"),
+        )
+        plan = p.select(
+            conv.alias("conv_id"), vid.alias("visit_id"),
+            F.format_string("Follow up in %d weeks", (k % 9).cast("int"))
+            .alias("action"),
+            F.lit("followup").alias("category"),
+            F.lit(5).alias("source_page"), F.lit(1).alias("source_line_in_turn"),
+        )
+        patients = p.select(
+            conv.alias("conv_id"),
+            F.when(k % 2 == 0, k.cast("string")).alias("patient_id"),
+            F.when(k % 3 == 1, F.lit("Ann Lee"))
+            .when(k % 3 == 2, F.lit("Bo")).alias("patient_name"),
+            F.when(k % 4 == 0, F.to_date(F.lit("1980-01-15"))).alias("dob"),
+            F.when(k % 3 == 0, F.lit("male"))
+            .when(k % 3 == 1, F.lit("female")).alias("sex"),
+        )
+        secs = rx.entity_sections(medications=meds, problems=problems,
+                                  vitals=vitals, results=results, plan=plan)
+        return rx.render_ccd_xml(visits, sections=secs, patients=patients)
+    q["ccd_xml_entities"] = q_ccd_xml_entities
+
     return q
 
 
@@ -1838,9 +2080,211 @@ GROUP BY conv_id, visit_id, trim(regexp_replace(lower(name), '\s+', ' ', 'g'))
 """
 
 
+_CCD_XML_ENTITIES_SQL = """
+WITH base AS (
+  SELECT p_partkey AS k, 'c' || CAST(p_partkey AS VARCHAR) AS conv_id, p_name
+  FROM part
+), sec AS (
+  SELECT k, conv_id,
+    '      <component>' || chr(10) ||
+    '        <section>' || chr(10) ||
+    '          <code code="11450-4" codeSystem="2.16.840.1.113883.6.1" displayName="Problem List"/>' || chr(10) ||
+    '          <title>Problem List</title>' || chr(10) ||
+    '          <text><list><item>' ||
+      CASE WHEN k % 5 = 0 THEN 'anxiety' ELSE p_name END || ' [Page 2]</item>' ||
+      CASE WHEN k % 5 = 0
+           THEN '<entry><observation><code code="48694002" displayName="Anxiety" codeSystem="2.16.840.1.113883.6.96"/></observation></entry>'
+           ELSE '' END || '</list></text>' || chr(10) ||
+    '        </section>' || chr(10) ||
+    '      </component>' AS problems_xml,
+    '      <component>' || chr(10) ||
+    '        <section>' || chr(10) ||
+    '          <code code="10160-0" codeSystem="2.16.840.1.113883.6.1" displayName="Medication History"/>' || chr(10) ||
+    '          <title>Medications</title>' || chr(10) ||
+    '          <text><table><thead><tr><th>Medication</th><th>Dose</th><th>Frequency</th><th>Route</th><th>Source Page</th></tr></thead><tbody><tr><td>' ||
+      p_name || '</td><td>10mg</td><td>N/A</td><td>N/A</td><td>1</td></tr></tbody></table></text>' || chr(10) ||
+    '        </section>' || chr(10) ||
+    '      </component>' AS medications_xml,
+    '      <component>' || chr(10) ||
+    '        <section>' || chr(10) ||
+    '          <code code="8716-3" codeSystem="2.16.840.1.113883.6.1" displayName="Vital Signs"/>' || chr(10) ||
+    '          <title>Vital Signs</title>' || chr(10) ||
+    '          <text><list><item>heart_rate: ' || CAST(60 + k % 40 AS VARCHAR) ||
+      ' bpm</item></list></text>' || chr(10) ||
+    '        </section>' || chr(10) ||
+    '      </component>' AS vitals_xml,
+    '      <component>' || chr(10) ||
+    '        <section>' || chr(10) ||
+    '          <code code="30954-2" codeSystem="2.16.840.1.113883.6.1" displayName="Relevant diagnostic tests/laboratory data"/>' || chr(10) ||
+    '          <title>Results</title>' || chr(10) ||
+    '          <text><table><thead><tr><th>Test</th><th>Value</th><th>Unit</th><th>Reference Range</th><th>Flag</th><th>Source Page</th></tr></thead><tbody><tr><td>' ||
+      CASE WHEN k % 7 = 0 THEN 'glucose' ELSE p_name END || '</td><td>' ||
+      CAST(k % 90 AS VARCHAR) || '</td><td>mg/dL</td><td>N/A</td><td>normal</td><td>3</td></tr>' ||
+      CASE WHEN k % 7 = 0
+           THEN '<entry><observation><code code="2345-7" displayName="Glucose" codeSystem="2.16.840.1.113883.6.1"/></observation></entry>'
+           ELSE '' END || '</tbody></table></text>' || chr(10) ||
+    '        </section>' || chr(10) ||
+    '      </component>' AS results_xml,
+    '      <component>' || chr(10) ||
+    '        <section>' || chr(10) ||
+    '          <code code="18776-5" codeSystem="2.16.840.1.113883.6.1" displayName="Plan of Care"/>' || chr(10) ||
+    '          <title>Plan</title>' || chr(10) ||
+    '          <text><list><item>Follow up in ' || CAST(k % 9 AS VARCHAR) ||
+      ' weeks (followup) [Page 5]</item></list></text>' || chr(10) ||
+    '        </section>' || chr(10) ||
+    '      </component>' AS plan_xml,
+    CASE WHEN k % 2 = 0
+         THEN '<id extension="' || CAST(k AS VARCHAR) || '" root="2.16.840.1.113883.3.1"/>'
+         ELSE '<id nullFlavor="UNK"/>' END AS pid,
+    CASE CAST(k % 3 AS INT)
+         WHEN 1 THEN '<name><given>Ann</given><family>Lee</family></name>'
+         WHEN 2 THEN '<name><family>Bo</family></name>'
+         ELSE '<name nullFlavor="UNK"/>' END AS pname,
+    CASE WHEN k % 4 = 0 THEN '<birthTime value="19800115"/>'
+         ELSE '<birthTime nullFlavor="UNK"/>' END AS birth,
+    '<administrativeGenderCode code="' ||
+      CASE CAST(k % 3 AS INT) WHEN 0 THEN 'M' WHEN 1 THEN 'F' ELSE 'U' END ||
+      '" codeSystem="2.16.840.1.113883.5.1"/>' AS gender
+  FROM base
+), visit AS (
+  SELECT k, conv_id,
+    '    <component>' || chr(10) ||
+    '      <section>' || chr(10) ||
+    '        <id extension="visit_001"/>' || chr(10) ||
+    '        <effectiveTime value="UNK"/>' || chr(10) ||
+    '        <title>Visit visit_001</title>' || chr(10) ||
+    '        <text mediaType="text/plain">doc</text>' || chr(10) ||
+    '        <entry><observation><value unit="confidence">0.5000</value></observation></entry>' || chr(10) ||
+    problems_xml || chr(10) || medications_xml || chr(10) || vitals_xml ||
+    chr(10) || results_xml || chr(10) || plan_xml || chr(10) ||
+    '      </section>' || chr(10) ||
+    '    </component>' AS comp,
+    '<recordTarget><patientRole>' || pid || '<patient>' || pname || birth ||
+    gender || '</patient></patientRole></recordTarget>' AS rt
+  FROM sec
+)
+SELECT conv_id,
+  '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+  '<ClinicalDocument xmlns="urn:hl7-org:v3">' || chr(10) ||
+  '  <realmCode code="US"/>' || chr(10) ||
+  '  <typeId root="2.16.840.1.113883.1.3" extension="POCD_HD000040"/>' || chr(10) ||
+  '  <id root="2.16.840.1.113883.19" extension="doc_' || conv_id || '"/>' || chr(10) ||
+  '  <title>Medical Record Summary (OCR-Processed)</title>' || chr(10) ||
+  '  <confidentialityCode code="N" codeSystem="2.16.840.1.113883.5.25"/>' || chr(10) ||
+  '  ' || rt || chr(10) ||
+  '  <component><structuredBody>' || chr(10) ||
+  comp || chr(10) ||
+  '  </structuredBody></component>' || chr(10) ||
+  '</ClinicalDocument>' AS ccd_xml
+FROM visit
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok_re = corpus.TOKEN_REGEX.replace("'", "''")
     return {
+        "ccd_xml_entities": _CCD_XML_ENTITIES_SQL,
+        "vitals_extract": """
+            WITH d AS (
+              SELECT 'c' || CAST(doc_id AS VARCHAR) AS conv_id,
+                CAST(doc_id % 400 AS INT) AS s, CAST(doc_id % 250 AS INT) AS dd,
+                CAST(40 + doc_id % 140 AS INT) AS hr
+              FROM documents
+            )
+            SELECT conv_id, 'blood_pressure' AS vital_name,
+              CAST(NULL AS DOUBLE) AS "value",
+              CAST(s AS DOUBLE) AS systolic, CAST(dd AS DOUBLE) AS diastolic,
+              'mmHg' AS unit,
+              (s BETWEEN 40 AND 300) AND (dd BETWEEN 20 AND 200) AS bp_valid,
+              CAST(2 AS INT) AS line_no
+            FROM d
+            UNION ALL
+            SELECT conv_id, 'heart_rate', CAST(hr AS DOUBLE),
+              CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 'bpm', TRUE,
+              CAST(3 AS INT)
+            FROM d
+            UNION ALL
+            SELECT conv_id, 'temperature', CAST('98.6' AS DOUBLE),
+              CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 'F', TRUE,
+              CAST(4 AS INT)
+            FROM d
+        """,
+        "allergies_plan": """
+            WITH d AS (
+              SELECT 'c' || CAST(doc_id AS VARCHAR) AS conv_id,
+                CAST(doc_id % 5 AS INT) AS k5, CAST(doc_id % 9 AS INT) AS k9
+              FROM documents
+            )
+            SELECT conv_id, 'allergy' AS kind, 'Penicillin' AS item,
+              CAST(NULL AS VARCHAR) AS category, CAST(2 AS INT) AS line_no FROM d
+            UNION ALL SELECT conv_id, 'allergy', 'Drug ' || CAST(k5 AS VARCHAR),
+              CAST(NULL AS VARCHAR), CAST(3 AS INT) FROM d
+            UNION ALL SELECT conv_id, 'plan',
+              'Start agent ' || CAST(k9 AS VARCHAR) || ' tablets',
+              'medication', CAST(6 AS INT) FROM d
+            UNION ALL SELECT conv_id, 'plan', 'Refer to specialist',
+              'referral', CAST(7 AS INT) FROM d
+            UNION ALL SELECT conv_id, 'plan', 'zz', 'other', CAST(8 AS INT) FROM d
+        """,
+        "ingest_quarantine": """
+            WITH t AS (
+              SELECT source AS conv_id,
+                CASE WHEN doc_id % 89 = 0 THEN ''
+                     WHEN doc_id % 97 = 0 THEN text || ' [ENCRYPTED]'
+                     ELSE text END AS text
+              FROM documents
+              UNION ALL SELECT 'empty_conv', '   '
+              UNION ALL SELECT 'long_conv', 'x'
+                FROM (SELECT unnest(range(1, 102)) AS i)
+            ), a AS (
+              SELECT conv_id, COUNT(*) AS n_turns,
+                CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                COUNT(CASE WHEN length(trim(text)) > 0 THEN 1 END) AS n_nonempty,
+                MAX(contains(text, '[ENCRYPTED]')) AS has_enc
+              FROM t GROUP BY conv_id
+            ), w AS (
+              SELECT *, list_filter([
+                CASE WHEN has_enc THEN 'encrypted' END,
+                CASE WHEN n_turns > 100 THEN 'too_many_pages' END,
+                CASE WHEN total_chars > 52428800 THEN 'file_too_large' END,
+                CASE WHEN n_nonempty = 0 THEN 'no_pages' END
+              ], x -> x IS NOT NULL) AS warn FROM a
+            )
+            SELECT conv_id, n_turns, total_chars, n_nonempty,
+              COALESCE(array_to_string(warn, '|'), '') AS warnings,
+              len(warn) > 0 AS quarantined
+            FROM w
+        """,
+        "problems_merge": """
+            WITH base AS (
+              SELECT 'c' || CAST(p_partkey AS VARCHAR) AS conv_id, p_partkey, p_name,
+                (2.0 * length(p_name) / (2 * length(p_name) + 3)) >= 0.85 AS merged
+              FROM part
+            )
+            SELECT conv_id, 'visit_001' AS visit_id,
+              p_name || ' xl' AS problem, 'active' AS status,
+              CAST(p_partkey*10+1 AS VARCHAR) || ',' || CAST(p_partkey*10+2 AS VARCHAR) AS source_pages,
+              p_name AS alternative_representations
+            FROM base WHERE merged
+            UNION ALL
+            SELECT conv_id, 'visit_001', p_name, CAST(NULL AS VARCHAR),
+              CAST(p_partkey*10+1 AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM base WHERE NOT merged
+            UNION ALL
+            SELECT conv_id, 'visit_001', p_name || ' xl', 'active',
+              CAST(p_partkey*10+2 AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM base WHERE NOT merged
+        """,
+        "lab_conflicts": """
+            SELECT 'c' || CAST(p_partkey AS VARCHAR) AS conv_id,
+              'visit_001' AS visit_id, p_name AS test_name,
+              '5' AS "value", 'mg/dL' AS unit,
+              '[{"value": "7", "unit": "mg/dL", "source_page": '
+                || CAST(p_partkey*10+2 AS VARCHAR) || '}]' AS value_conflicts_json,
+              CAST(p_partkey*10+1 AS VARCHAR) || ',' || CAST(p_partkey*10+2 AS VARCHAR) AS source_pages,
+              CAST(0.95 AS DOUBLE) AS merge_confidence
+            FROM part
+        """,
         "visit_sessionize": f"""
             WITH {_VISIT_SESSIONIZE_CTE}
             SELECT source, CAST(doc_id AS INT) AS doc_id,
