@@ -20,9 +20,22 @@ def test_pipeline_shapes(result):
     n_turns = result.extracted_turns.count()
     assert n_turns > 100
     assert result.visit_spans.count() > 30
-    assert result.documents.count() == 30
+    # P1 ingest validation quarantines the fixture conversations that
+    # exceed the 100-turn page-count bound (pdf_service.py:28-99 analog)
+    quarantined = result.quarantine.collect()
+    assert len(quarantined) == 2
+    assert all(r["warnings"] == ["too_many_pages"] for r in quarantined)
+    assert result.documents.count() == 30 - len(quarantined)
     assert result.metrics.count() >= 6
     assert result.dedup_log.columns.count("entity_type") == 1
+
+
+def test_pipeline_validation_off(spark):
+    df = fixtures.transcripts_spark_df(spark, 10, seed=7)
+    res = run_pipeline(spark, df, run_id="nv", with_validation=False,
+                       with_entities=False, with_xml=False)
+    assert res.quarantine is None
+    assert res.documents.count() == 10
 
 
 def test_xml_well_formed(result):
