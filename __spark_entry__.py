@@ -92,8 +92,8 @@ _QUERY_ORDER = [
     "top_orders", "pricing_summary", "top_suppliers", "promo_revenue",
     "user_stats", "sessionize_events", "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
-    "minhash_lsh_pairs", "simhash_near_dups", "fingerprints", "ann_lsh",
-    "media_features",
+    "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
+    "fingerprints", "ann_lsh", "media_features",
 ]
 
 
@@ -921,6 +921,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash_dups(spark, sf):
         return corpus.simhash_near_dups(_read(spark, sf, "documents"), max_hamming=3)
     q["simhash_near_dups"] = q_simhash_dups
+
+    def q_ngram_jaccard_banded(spark, sf):
+        """Production candidate tier for exact-Jaccard near-dups: minhash
+        band buckets (uniform keys — no hot-min-shingle risk at scale);
+        pytest pins equivalence with the oracled min-shingle tier."""
+        return corpus.ngram_jaccard_pairs(
+            _read(spark, sf, "documents"), 3, 0.8,
+            candidate="banded", num_hashes=16, bands=8,
+        )
+    q["ngram_jaccard_banded"] = q_ngram_jaccard_banded
 
     def q_fingerprints(spark, sf):
         return corpus.fingerprints(_read(spark, sf, "documents")).select(

@@ -134,19 +134,12 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
     )
 
 
-def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
-                      bands: int = 8, shingle_n: int = 3,
-                      jaccard_threshold: float = 0.7,
-                      hash_fn: str = "xxhash64") -> DataFrame:
-    """Near-duplicate pairs via LSH banding + exact-Jaccard verification.
-
-    rows/band bucket join keys are (band_id, hash-of-band-slice) — the
-    self-join is an equi-join Catalyst executes as a shuffled hash join
-    on uniformly distributed keys.  Estimated Jaccard = fraction of
-    matching minhash components; candidates below threshold are dropped
-    before any pairwise text work."""
+def _banded_candidates(sigs: DataFrame, num_hashes: int, bands: int,
+                       hash_fn: str) -> DataFrame:
+    """(doc_a, doc_b, sig_a, sig_b) candidate pairs from LSH banding of
+    minhash signatures: bucket key = (band_id, hash-of-band-slice), the
+    self-join is an equi-join on uniformly distributed keys."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, shingle_n, hash_fn)
     band_key = F.md5 if hash_fn == "md5" else F.xxhash64
 
     def _bucket(b: int):
@@ -171,7 +164,7 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
     ).select("doc_id", "signature", "bb.band", "bb.bucket")
 
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -186,6 +179,21 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
+                      bands: int = 8, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.7,
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-duplicate pairs via LSH banding + exact-Jaccard verification.
+
+    rows/band bucket join keys are (band_id, hash-of-band-slice) — the
+    self-join is an equi-join Catalyst executes as a shuffled hash join
+    on uniformly distributed keys.  Estimated Jaccard = fraction of
+    matching minhash components; candidates below threshold are dropped
+    before any pairwise text work."""
+    sigs = minhash_signatures(documents, num_hashes, shingle_n, hash_fn)
+    cand = _banded_candidates(sigs, num_hashes, bands, hash_fn)
     est = (
         F.size(
             F.filter(
@@ -301,23 +309,51 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
 
 def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
                         threshold: float = 0.8,
-                        round_to: int | None = 6) -> DataFrame:
-    """Exact Jaccard near-dups with min-shingle candidate generation:
-    docs sharing their minimum shingle hash are candidates (LSH with one
-    hash); candidates get exact set Jaccard on distinct shingles.
-    Deliberately simple + fully SQL-expressible so DuckDB can oracle it."""
+                        round_to: int | None = 6,
+                        candidate: str = "min_shingle",
+                        num_hashes: int = 16, bands: int = 8,
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """Exact Jaccard near-dups over distinct word shingles, with two
+    candidate-generation tiers:
+
+    * candidate='min_shingle' (default, fully SQL-expressible — the
+      DuckDB-oracled tier): docs sharing their minimum shingle hash are
+      candidates (LSH with one hash).  Caveat at 100 TB: a globally
+      common minimum shingle becomes one hot join key.
+    * candidate='banded' (the production/scale tier): minhash band
+      buckets generate candidates — bucket keys are uniformly
+      distributed, so no single shingle can concentrate the join.
+      Verification stays the same exact set-Jaccard.
+    """
     sh = documents.select(
         "doc_id",
         F.array_sort(word_shingles(F.col("text"), shingle_n)).alias("shingles"),
-    ).withColumn(
-        "min_shingle",
-        F.array_min(F.transform("shingles", lambda s: F.md5(s))),
     )
-    a, b = sh.alias("a"), sh.alias("b")
     jac = (
         F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
         / F.size(F.array_union("a.shingles", "b.shingles"))
     )
+    out_jac = F.round(jac, round_to) if round_to is not None else jac
+    if candidate == "banded":
+        sigs = minhash_signatures(documents, num_hashes, shingle_n, hash_fn)
+        cand = _banded_candidates(sigs, num_hashes, bands, hash_fn).select(
+            "doc_a", "doc_b"
+        )
+        pairs = (
+            cand.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+            .join(sh.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        )
+        return (
+            pairs.select("doc_a", "doc_b", out_jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    if candidate != "min_shingle":
+        raise ValueError(f"unknown candidate tier: {candidate}")
+    keyed = sh.withColumn(
+        "min_shingle",
+        F.array_min(F.transform("shingles", lambda s: F.md5(s))),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
             b,
@@ -327,7 +363,7 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            (F.round(jac, round_to) if round_to is not None else jac).alias("jaccard"),
+            out_jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

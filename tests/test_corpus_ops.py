@@ -181,3 +181,21 @@ def test_multimodal_plumbing(spark):
     assert plan.count() > 0
     with pytest.raises(Exception):
         multimodal.decode_features(media, real_decode=True).collect()
+
+
+def test_ngram_jaccard_banded_tier(spark, docs):
+    """The banded (production) candidate tier verifies with the same
+    exact Jaccard: on the documents corpus its surviving pairs must
+    equal the min-shingle tier's for pairs both tiers surface, and it
+    must find every exact-duplicate pair (identical signatures always
+    share every band bucket)."""
+    min_tier = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in corpus.ngram_jaccard_pairs(docs, 3, 0.8).collect()}
+    banded = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in corpus.ngram_jaccard_pairs(
+                  docs, 3, 0.8, candidate="banded",
+                  num_hashes=16, bands=8).collect()}
+    exact_pairs = {k for k, v in min_tier.items() if v == 1.0}
+    assert exact_pairs <= set(banded)
+    for k in set(min_tier) & set(banded):
+        assert min_tier[k] == banded[k]
