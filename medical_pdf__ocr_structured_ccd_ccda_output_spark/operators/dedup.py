@@ -61,14 +61,18 @@ _KIND_SPEC = {
 
 
 def _output_schema(kind: str) -> str:
+    # log columns carry a log_ prefix in the union schema so entity
+    # fields can never collide (the plan kind's key IS named 'action');
+    # split_dedup_output aliases them back for consumers
     ent = ", ".join(f"{f} string" for f in _KIND_SPEC[kind]["fields"])
     return (
         "conv_id string, visit_id string, row_kind string, "
         f"{ent}, "
         "source_pages array<int>, merge_confidence double, "
         "alternative_representations array<string>, value_conflicts_json string, "
-        "action string, reason string, item1 string, item2 string, "
-        "similarity double, threshold double, log_source_pages array<int>"
+        "log_action string, log_reason string, log_item1 string, "
+        "log_item2 string, log_similarity double, log_threshold double, "
+        "log_source_pages array<int>"
     )
 
 
@@ -100,8 +104,9 @@ def dedup_entities(entities: DataFrame, kind: str,
                 "merge_confidence": m.get("merge_confidence"),
                 "alternative_representations": m.get("alternative_representations"),
                 "value_conflicts_json": json.dumps(vc) if vc else None,
-                "action": None, "reason": None, "item1": None, "item2": None,
-                "similarity": None, "threshold": None, "log_source_pages": None,
+                "log_action": None, "log_reason": None, "log_item1": None,
+                "log_item2": None, "log_similarity": None,
+                "log_threshold": None, "log_source_pages": None,
             })
         for entry in log:
             out.append({
@@ -109,9 +114,10 @@ def dedup_entities(entities: DataFrame, kind: str,
                 **{f: None for f in fields},
                 "source_pages": None, "merge_confidence": None,
                 "alternative_representations": None, "value_conflicts_json": None,
-                "action": entry["action"], "reason": entry["reason"],
-                "item1": entry["item1"], "item2": entry["item2"],
-                "similarity": entry["similarity"], "threshold": entry["threshold"],
+                "log_action": entry["action"], "log_reason": entry["reason"],
+                "log_item1": entry["item1"], "log_item2": entry["item2"],
+                "log_similarity": entry["similarity"],
+                "log_threshold": entry["threshold"],
                 "log_source_pages": [int(p) for p in entry["source_pages"]
                                      if p is not None],
             })
@@ -125,12 +131,19 @@ def dedup_entities(entities: DataFrame, kind: str,
 def split_dedup_output(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(merged_entities, decision_log) — cache `combined` upstream if both
     sides are consumed."""
-    log_cols = ["conv_id", "visit_id", "action", "reason", "item1", "item2",
-                "similarity", "threshold", "log_source_pages"]
     ent = combined.filter(F.col("row_kind") == "entity").drop(
-        "row_kind", "action", "reason", "item1", "item2", "similarity",
-        "threshold", "log_source_pages")
-    log = combined.filter(F.col("row_kind") == "log").select(*log_cols)
+        "row_kind", "log_action", "log_reason", "log_item1", "log_item2",
+        "log_similarity", "log_threshold", "log_source_pages")
+    log = combined.filter(F.col("row_kind") == "log").select(
+        "conv_id", "visit_id",
+        F.col("log_action").alias("action"),
+        F.col("log_reason").alias("reason"),
+        F.col("log_item1").alias("item1"),
+        F.col("log_item2").alias("item2"),
+        F.col("log_similarity").alias("similarity"),
+        F.col("log_threshold").alias("threshold"),
+        "log_source_pages",
+    )
     return ent, log
 
 

@@ -19,9 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators.dedup import dedup_entities, split_dedup_output
 from .operators.entities import (
+    extract_allergies,
     extract_lab_results,
     extract_medications,
+    extract_plan_items,
     extract_problems,
+    extract_vitals,
 )
 from .operators.extract import extract_turns
 from .operators.rollups import document_rollup, stage_metrics
@@ -47,6 +50,9 @@ class PipelineResult:
     lineage: dict[str, DataFrame] = field(default_factory=dict)
     ccd_xml: DataFrame | None = None
     quarantine: DataFrame | None = None
+    vitals: DataFrame | None = None
+    allergies: DataFrame | None = None
+    plan_items: DataFrame | None = None
 
 
 def conversation_quality(transcripts: DataFrame) -> DataFrame:
@@ -117,7 +123,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
     docs = document_rollup(turns, include_combined_text=include_raw_text)
     metrics = stage_metrics(turns)
 
-    meds = probs = labs = log = None
+    meds = probs = labs = log = vits = alls = plans = None
     if with_entities:
         import pyspark.sql.functions as F
 
@@ -130,10 +136,17 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         meds, med_log = split_dedup_output(med_c)
         probs, prob_log = split_dedup_output(prob_c)
         labs, lab_log = split_dedup_output(lab_c)
+        vits = extract_vitals(turns)
+        alls, all_log = split_dedup_output(
+            dedup_entities(extract_allergies(turns), "allergy"))
+        plans, plan_log = split_dedup_output(
+            dedup_entities(extract_plan_items(turns), "plan"))
         log = (
             med_log.withColumn("entity_type", F.lit("medication"))
             .unionByName(prob_log.withColumn("entity_type", F.lit("problem")))
             .unionByName(lab_log.withColumn("entity_type", F.lit("result")))
+            .unionByName(all_log.withColumn("entity_type", F.lit("allergy")))
+            .unionByName(plan_log.withColumn("entity_type", F.lit("plan")))
         )
 
     lineage = {
@@ -144,7 +157,28 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
 
     xml = None
     if with_xml and include_raw_text:
-        xml = render_ccd_xml(visits)
+        sections = None
+        if with_entities:
+            import pyspark.sql.functions as F
+
+            from .renderers.xml import entity_sections
+
+            def _first_page(df: DataFrame) -> DataFrame:
+                # deduped entities carry the merged source_pages set;
+                # the render sort key is the first (earliest) page, like
+                # the reference rendering its merged entries in list order
+                return df.withColumn(
+                    "source_page", F.element_at("source_pages", 1)
+                ).withColumn("source_line_in_turn", F.lit(0))
+
+            sections = entity_sections(
+                medications=_first_page(meds),
+                problems=_first_page(probs),
+                vitals=vits,
+                results=_first_page(labs),
+                plan=_first_page(plans),
+            )
+        xml = render_ccd_xml(visits, sections=sections)
 
     return PipelineResult(
         extracted_turns=turns,
@@ -158,4 +192,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         lineage=lineage,
         ccd_xml=xml,
         quarantine=quarantine,
+        vitals=vits,
+        allergies=alls,
+        plan_items=plans,
     )
