@@ -35,6 +35,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--no-raw-text", action="store_true",
                    help="skip combined-text sinks (the only per-conv "
                         "collect at pathological conversation sizes)")
+    p.add_argument("--no-validation", action="store_true",
+                   help="skip the P1 ingest validation / quarantine branch")
     args = p.parse_args(argv)
 
     spark = get_spark("ccda_extraction_job")
@@ -56,6 +58,7 @@ def main(argv: list[str] | None = None) -> None:
             spark, part, run_id=args.run_id,
             skew_aware=args.skew_aware,
             include_raw_text=not args.no_raw_text,
+            with_validation=not args.no_validation,
         )
         mode = "overwrite"
         suffix = f"_shard{shard}" if args.shards > 1 else ""
@@ -66,7 +69,12 @@ def main(argv: list[str] | None = None) -> None:
             tio.write_table(res.medications, args.output, f"medications{suffix}", mode)
             tio.write_table(res.problems, args.output, f"problems{suffix}", mode)
             tio.write_table(res.lab_results, args.output, f"lab_results{suffix}", mode)
+            tio.write_table(res.vitals, args.output, f"vitals{suffix}", mode)
+            tio.write_table(res.allergies, args.output, f"allergies{suffix}", mode)
+            tio.write_table(res.plan_items, args.output, f"plan_items{suffix}", mode)
             tio.write_table(res.dedup_log, args.output, f"dedup_log{suffix}", mode)
+        if res.quarantine is not None:
+            tio.write_table(res.quarantine, args.output, f"quarantine{suffix}", mode)
         if res.ccd_xml is not None:
             tio.write_table(res.ccd_xml, args.output, f"ccd_xml{suffix}", mode)
         tio.write_table(res.metrics, args.output, f"metrics{suffix}", mode)
