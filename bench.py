@@ -103,6 +103,9 @@ def main():
         "quality_scores", "token_counts", "ann_bruteforce", "ann_lsh",
         "pricing_summary", "top_orders", "region_revenue",
         "sessionize_events", "topk_per_group",
+        # round-2 operators
+        "vitals_extract", "ingest_quarantine", "problems_merge",
+        "ccd_xml_entities", "ngram_jaccard_banded",
     ]:
         df = qs[name](spark, SF_DIR)
         _materialize(df)
