@@ -186,9 +186,7 @@ def _coded_entry(text_col: Column, code_map: list[tuple[str, str]],
     ).otherwise(F.lit(""))
 
 
-def problem_section(problems: DataFrame) -> DataFrame:
-    """Problem List (LOINC 11450-4, xml_renderer.py:252-279) + SNOMED
-    coded entries.  Expects extract_problems/dedup output columns."""
+def _problem_row() -> Column:
     from .. import rules
 
     item_text = F.concat(
@@ -200,11 +198,16 @@ def problem_section(problems: DataFrame) -> DataFrame:
                F.format_string(" [Page %d]", F.col("source_page"))
                ).otherwise(F.lit("")),
     )
-    row = F.concat(
+    return F.concat(
         F.format_string("<item>%s</item>", item_text),
         _coded_entry(F.col("problem"), rules.SNOMED_CODES, SNOMED_SYSTEM),
     )
-    agg = _agg_rows(problems, row)
+
+
+def problem_section(problems: DataFrame) -> DataFrame:
+    """Problem List (LOINC 11450-4, xml_renderer.py:252-279) + SNOMED
+    coded entries.  Expects extract_problems/dedup output columns."""
+    agg = _agg_rows(problems, _problem_row())
     return agg.select(
         "conv_id", "visit_id",
         _section_xml("11450-4", "Problem List", "Problem List",
@@ -219,15 +222,18 @@ _MED_HEADER = (
 )
 
 
-def medication_section(medications: DataFrame) -> DataFrame:
-    """Medication History (LOINC 10160-0, xml_renderer.py:281-326)."""
-    row = F.format_string(
+def _medication_row() -> Column:
+    return F.format_string(
         "<tr><td>%s</td><td>%s</td><td>%s</td><td>%s</td><td>%s</td></tr>",
         xml_escape(F.col("name")), _na(F.col("dose")),
         _na(F.col("frequency")), _na(F.col("route")),
         _na(F.col("source_page").cast("string")),
     )
-    agg = _agg_rows(medications, row)
+
+
+def medication_section(medications: DataFrame) -> DataFrame:
+    """Medication History (LOINC 10160-0, xml_renderer.py:281-326)."""
+    agg = _agg_rows(medications, _medication_row())
     return agg.select(
         "conv_id", "visit_id",
         _section_xml(
@@ -238,23 +244,25 @@ def medication_section(medications: DataFrame) -> DataFrame:
     )
 
 
-def vitals_section(vitals: DataFrame) -> DataFrame:
-    """Vital Signs (LOINC 8716-3, xml_renderer.py:328-353).  Like the
-    reference, only single-value vitals render as list items (its loop
-    requires vital_data['value'], which blood_pressure lacks)."""
-    single = vitals.filter(F.col("value").isNotNull())
+def _vital_row() -> Column:
     num = F.when(
         F.col("value") == F.floor("value"),
         F.col("value").cast("long").cast("string"),
     ).otherwise(F.col("value").cast("string"))
-    row = F.format_string(
+    return F.format_string(
         "<item>%s</item>",
         F.rtrim(F.format_string(
             "%s: %s %s", F.col("vital_name"), num,
             F.coalesce(F.col("unit"), F.lit("")),
         )),
     )
-    agg = _agg_rows(single, row)
+
+
+def vitals_section(vitals: DataFrame) -> DataFrame:
+    """Vital Signs (LOINC 8716-3, xml_renderer.py:328-353).  Like the
+    reference, only single-value vitals render as list items (its loop
+    requires vital_data['value'], which blood_pressure lacks)."""
+    agg = _agg_rows(vitals.filter(F.col("value").isNotNull()), _vital_row())
     return agg.select(
         "conv_id", "visit_id",
         _section_xml("8716-3", "Vital Signs", "Vital Signs",
@@ -269,16 +277,14 @@ _RESULT_HEADER = (
 )
 
 
-def results_section(results: DataFrame) -> DataFrame:
-    """Results (LOINC 30954-2, xml_renderer.py:355-403; flag fallback
-    'normal') + LOINC coded entries."""
+def _result_row() -> Column:
     from .. import rules
 
     flag = F.when(
         F.col("abnormal_flag").isNull() | (F.col("abnormal_flag") == ""),
         F.lit("normal"),
     ).otherwise(F.col("abnormal_flag"))
-    row = F.concat(
+    return F.concat(
         F.format_string(
             "<tr><td>%s</td><td>%s</td><td>%s</td><td>%s</td><td>%s</td>"
             "<td>%s</td></tr>",
@@ -288,7 +294,12 @@ def results_section(results: DataFrame) -> DataFrame:
         ),
         _coded_entry(F.col("test_name"), rules.LOINC_CODES, LOINC_SYSTEM),
     )
-    agg = _agg_rows(results, row)
+
+
+def results_section(results: DataFrame) -> DataFrame:
+    """Results (LOINC 30954-2, xml_renderer.py:355-403; flag fallback
+    'normal') + LOINC coded entries."""
+    agg = _agg_rows(results, _result_row())
     return agg.select(
         "conv_id", "visit_id",
         _section_xml(
@@ -299,8 +310,7 @@ def results_section(results: DataFrame) -> DataFrame:
     )
 
 
-def plan_section(plan: DataFrame) -> DataFrame:
-    """Plan of Care (LOINC 18776-5, xml_renderer.py:424-453)."""
+def _plan_row() -> Column:
     item = F.concat(
         xml_escape(F.col("action")),
         F.when(F.col("category").isNotNull(),
@@ -310,7 +320,12 @@ def plan_section(plan: DataFrame) -> DataFrame:
                F.format_string(" [Page %d]", F.col("source_page"))
                ).otherwise(F.lit("")),
     )
-    agg = _agg_rows(plan, F.format_string("<item>%s</item>", item))
+    return F.format_string("<item>%s</item>", item)
+
+
+def plan_section(plan: DataFrame) -> DataFrame:
+    """Plan of Care (LOINC 18776-5, xml_renderer.py:424-453)."""
+    agg = _agg_rows(plan, _plan_row())
     return agg.select(
         "conv_id", "visit_id",
         _section_xml("18776-5", "Plan of Care", "Plan",
@@ -327,29 +342,68 @@ def entity_sections(medications: DataFrame | None = None,
     """(conv_id, visit_id, sections_xml): all per-visit entity sections in
     reference render order (problems, medications, vitals, results, plan
     — xml_renderer.py:205-212); absent sections are skipped the way the
-    reference's early returns skip empty lists (concat_ws drops nulls)."""
-    parts = []
-    if problems is not None:
-        parts.append(problem_section(problems))
-    if medications is not None:
-        parts.append(medication_section(medications))
-    if vitals is not None:
-        parts.append(vitals_section(vitals))
-    if results is not None:
-        parts.append(results_section(results))
-    if plan is not None:
-        parts.append(plan_section(plan))
-    if not parts:
-        raise ValueError("at least one entity DataFrame is required")
-    joined = parts[0]
-    for p in parts[1:]:
-        joined = joined.join(p, ["conv_id", "visit_id"], "full_outer")
-    order = ["problems_xml", "medications_xml", "vitals_xml",
-             "results_xml", "plan_xml"]
-    cols = [c for c in order if c in joined.columns]
-    return joined.select(
+    reference's early returns skip empty lists (concat_ws drops nulls).
+
+    Fused plan: rows are rendered per kind BEFORE a union-with-kind-rank,
+    so all five sections come out of ONE groupBy (conv_id, visit_id)
+    aggregation — one shuffle instead of five aggs + four full-outer
+    joins (measured 15 exchanges -> 2 on the contract query)."""
+    kinds = []  # (rank, source rows with rendered _row, wrap fn)
+    mk = lambda df, rank, row: df.select(  # noqa: E731
         "conv_id", "visit_id",
-        F.concat_ws("\n", *[F.col(c) for c in cols]).alias("sections_xml"),
+        F.lit(rank).alias("_rank"),
+        F.col("source_page").cast("int").alias("source_page"),
+        F.col("source_line_in_turn").cast("int").alias("source_line_in_turn"),
+        row.alias("_row"),
+    )
+    list_wrap = lambda body: F.format_string("<list>%s</list>", body)  # noqa: E731
+    if problems is not None:
+        kinds.append((0, mk(problems, 0, _problem_row()),
+                      ("11450-4", "Problem List", "Problem List", list_wrap)))
+    if medications is not None:
+        kinds.append((1, mk(medications, 1, _medication_row()),
+                      ("10160-0", "Medication History", "Medications",
+                       lambda b: F.format_string(
+                           "<table>%s<tbody>%s</tbody></table>",
+                           F.lit(_MED_HEADER), b))))
+    if vitals is not None:
+        kinds.append((2, mk(vitals.filter(F.col("value").isNotNull()), 2,
+                            _vital_row()),
+                      ("8716-3", "Vital Signs", "Vital Signs", list_wrap)))
+    if results is not None:
+        kinds.append((3, mk(results, 3, _result_row()),
+                      ("30954-2", "Relevant diagnostic tests/laboratory data",
+                       "Results",
+                       lambda b: F.format_string(
+                           "<table>%s<tbody>%s</tbody></table>",
+                           F.lit(_RESULT_HEADER), b))))
+    if plan is not None:
+        kinds.append((4, mk(plan, 4, _plan_row()),
+                      ("18776-5", "Plan of Care", "Plan", list_wrap)))
+    if not kinds:
+        raise ValueError("at least one entity DataFrame is required")
+
+    union = kinds[0][1]
+    for _, df, _spec in kinds[1:]:
+        union = union.unionByName(df)
+    agg = union.groupBy("conv_id", "visit_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("_rank", "source_page", "source_line_in_turn", "_row")
+            )
+        ).alias("_rows")
+    )
+    sections = []
+    for rank, _df, (code, display, title, wrap) in kinds:
+        of_kind = F.filter(F.col("_rows"), lambda r: r["_rank"] == rank)
+        body = F.array_join(F.transform(of_kind, lambda r: r["_row"]), "")
+        sections.append(
+            F.when(F.size(of_kind) > 0,
+                   _section_xml(code, display, title, wrap(body)))
+        )
+    return agg.select(
+        "conv_id", "visit_id",
+        F.concat_ws("\n", *sections).alias("sections_xml"),
     )
 
 
