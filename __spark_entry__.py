@@ -89,8 +89,9 @@ _QUERY_ORDER = [
     # relational showcases kept in the scored window
     "region_revenue", "topk_per_group",
     # ---- tail: oracled but redundant with queries above ----
-    "top_orders", "pricing_summary", "top_suppliers", "promo_revenue",
-    "user_stats", "sessionize_events", "visit_sessionize_skew",
+    "schema_warnings", "top_orders", "pricing_summary", "top_suppliers",
+    "promo_revenue", "user_stats", "sessionize_events",
+    "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
     "fingerprints", "ann_lsh", "media_features",
@@ -1327,6 +1328,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rx.render_ccd_xml(visits, sections=secs, patients=patients)
     q["ccd_xml_entities"] = q_ccd_xml_entities
 
+    def q_schema_warnings(spark, sf):
+        """Schema-validation warnings stage (canonical_schema.py:182-292
+        validators as flagged rows): synthetic visits with injected
+        anomalies run through functions.validate.visit_warnings_expr."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.validate import (
+            visit_warnings_expr,
+        )
+        p = _read(spark, sf, "part")
+        k = F.col("p_partkey")
+        visits = p.select(
+            F.concat(F.lit("c"), k.cast("string")).alias("conv_id"),
+            F.when(k % 11 == 0, F.lit("v_bad")).otherwise(F.lit("visit_001"))
+            .alias("visit_id"),
+            F.when(k % 13 == 0, F.lit(1.5)).otherwise(F.lit(0.5))
+            .alias("confidence"),
+            F.when(k % 17 == 0, F.lit(0)).otherwise(F.lit(2))
+            .cast("long").alias("turn_count"),
+            F.when(k % 19 == 0, F.lit("1.0")).otherwise(F.lit("2.0"))
+            .alias("schema_version"),
+        )
+        w = visit_warnings_expr(
+            F.col("visit_id"), F.col("confidence"), F.col("turn_count"),
+            F.col("schema_version"),
+        )
+        return visits.select(
+            "conv_id", "visit_id",
+            F.array_join(w, "|").alias("warnings"),
+            (F.size(w) == 0).alias("valid"),
+        )
+    q["schema_warnings"] = q_schema_warnings
+
     ordered = {name: q[name] for name in _QUERY_ORDER if name in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
@@ -2235,6 +2267,31 @@ def oracle_sql() -> dict[str, str]:
     tok_re = corpus.TOKEN_REGEX.replace("'", "''")
     return {
         "ccd_xml_entities": _CCD_XML_ENTITIES_SQL,
+        "schema_warnings": """
+            WITH v AS (
+              SELECT 'c' || CAST(p_partkey AS VARCHAR) AS conv_id,
+                CASE WHEN p_partkey % 11 = 0 THEN 'v_bad'
+                     ELSE 'visit_001' END AS visit_id,
+                CASE WHEN p_partkey % 13 = 0 THEN 1.5 ELSE 0.5 END AS conf,
+                CASE WHEN p_partkey % 17 = 0 THEN 0 ELSE 2 END AS n,
+                CASE WHEN p_partkey % 19 = 0 THEN '1.0' ELSE '2.0' END AS ver
+              FROM part
+            ), w AS (
+              SELECT conv_id, visit_id, list_filter([
+                CASE WHEN NOT starts_with(visit_id, 'visit_')
+                     THEN 'invalid_visit_id' END,
+                CASE WHEN conf IS NULL OR conf < 0.0 OR conf > 1.0
+                     THEN 'confidence_out_of_range' END,
+                CASE WHEN n < 1 THEN 'no_source_pages' END,
+                CASE WHEN ver <> '2.0' THEN 'unsupported_schema_version' END
+              ], x -> x IS NOT NULL) AS warn
+              FROM v
+            )
+            SELECT conv_id, visit_id,
+              COALESCE(array_to_string(warn, '|'), '') AS warnings,
+              len(warn) = 0 AS valid
+            FROM w
+        """,
         "vitals_extract": """
             WITH d AS (
               SELECT 'c' || CAST(doc_id AS VARCHAR) AS conv_id,

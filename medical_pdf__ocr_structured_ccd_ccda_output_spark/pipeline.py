@@ -120,6 +120,18 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         turns = assign_visits(extracted)
 
     visits = visit_rollup(turns, include_raw_text=include_raw_text)
+    # schema-validation warnings stage (raising Pydantic validators ->
+    # flagged rows; canonical_schema.py:182-208,286-292)
+    import pyspark.sql.functions as _F
+
+    from .functions.validate import visit_warnings_expr
+
+    visits = visits.withColumn(
+        "schema_warnings",
+        visit_warnings_expr(
+            _F.col("visit_id"), _F.col("confidence"), _F.col("turn_count")
+        ),
+    )
     docs = document_rollup(turns, include_combined_text=include_raw_text)
     metrics = stage_metrics(turns)
 

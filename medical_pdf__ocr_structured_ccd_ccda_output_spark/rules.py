@@ -892,3 +892,26 @@ def conversation_warnings(n_turns: int, total_chars: int,
     if n_nonempty == 0:
         w.append("no_pages")
     return w
+
+
+# ---------------------------------------------------------------------------
+# 15. Visit schema validation (canonical_schema.py:182-208,286-292):
+#     raising Pydantic validators become warning codes
+# ---------------------------------------------------------------------------
+
+SUPPORTED_SCHEMA_VERSION = "2.0"
+
+
+def visit_warnings(visit_id: str | None, confidence: float | None,
+                   page_count: int,
+                   schema_version: str = SUPPORTED_SCHEMA_VERSION) -> list[str]:
+    w = []
+    if not (visit_id or "").startswith("visit_"):
+        w.append("invalid_visit_id")
+    if confidence is None or confidence < 0.0 or confidence > 1.0:
+        w.append("confidence_out_of_range")
+    if page_count < 1:
+        w.append("no_source_pages")
+    if schema_version != SUPPORTED_SCHEMA_VERSION:
+        w.append("unsupported_schema_version")
+    return w

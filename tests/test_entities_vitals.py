@@ -239,3 +239,28 @@ def test_demographics_xml(spark):
     assert '<id nullFlavor="UNK"/>' in got["c2"]
     assert '<name nullFlavor="UNK"/>' in got["c2"]
     assert '<administrativeGenderCode code="U"' in got["c2"]
+
+
+def test_visit_schema_warnings_parity(spark):
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.validate import (
+        visit_warnings_expr,
+    )
+    cases = [
+        ("visit_001", 0.5, 3, "2.0"),
+        ("v_bad", 0.5, 3, "2.0"),
+        ("visit_001", 1.5, 3, "2.0"),
+        ("visit_001", None, 0, "2.0"),
+        ("visit_001", 0.5, 3, "1.0"),
+        (None, -0.1, 0, "1.0"),
+    ]
+    df = spark.createDataFrame(
+        cases, "visit_id string, confidence double, page_count int, ver string")
+    out = df.select(
+        "visit_id", "confidence", "page_count", "ver",
+        visit_warnings_expr(F.col("visit_id"), F.col("confidence"),
+                            F.col("page_count"), F.col("ver")).alias("w"),
+    ).collect()
+    for r in out:
+        want = rules.visit_warnings(r["visit_id"], r["confidence"],
+                                    r["page_count"], r["ver"])
+        assert list(r["w"]) == want, (r["visit_id"], r["w"], want)
