@@ -724,10 +724,17 @@ VITAL_LABEL_MAP: list[tuple[str, str]] = [
     ("bmi", "bmi"),
 ]
 
-# label [:=] value [/ value2] [unit]
+# label [:=| ] value [/ value2] [unit] [trailing annotation]
+# unit alternation = VitalSignUnit / TemperatureUnit enum values
+# (enums.py:56-76); anything else (±5, arrows, prose) is tolerated as
+# a trailing annotation and ignored
+VITAL_UNITS = ["breaths/min", "mmHg", "bpm", "lbs", "kg", "cm", "in",
+               "%", "F", "C"]
 VITAL_LINE_PATTERN = (
-    r"^\s*([A-Za-z][A-Za-z0-9 ]*?)\s*[:=]\s*(\d+(?:\.\d+)?)"
-    r"(?:\s*/\s*(\d+(?:\.\d+)?))?\s*([A-Za-z%/]+)?\s*$"
+    r"^\s*([A-Za-z][A-Za-z0-9 ]*?)(?:\s*[:=]\s*|\s+)(\d+(?:\.\d+)?)"
+    r"(?:\s*/\s*(\d+(?:\.\d+)?))?"
+    r"(?:\s+(" + "|".join(re.escape(u) for u in VITAL_UNITS) + r"))?"
+    r"(?:\s+.*)?\s*$"
 )
 _VITAL_LINE_RE = re.compile(VITAL_LINE_PATTERN)
 
