@@ -89,7 +89,8 @@ _QUERY_ORDER = [
     # relational showcases kept in the scored window
     "region_revenue", "topk_per_group",
     # ---- tail: oracled but redundant with queries above ----
-    "schema_warnings", "top_orders", "pricing_summary", "top_suppliers",
+    "schema_warnings", "encounter_type", "data_quality", "top_orders",
+    "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
     "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
@@ -1323,8 +1324,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(k % 3 == 0, F.lit("male"))
             .when(k % 3 == 1, F.lit("female")).alias("sex"),
         )
+        texts = p.select(
+            conv.alias("conv_id"), vid.alias("visit_id"),
+            F.explode(F.array(
+                F.struct(F.lit("reason_for_visit").alias("field"),
+                         F.lit("Follow-up for diabetes").alias("text")),
+                F.struct(F.lit("history_of_present_illness").alias("field"),
+                         F.format_string("Symptoms for %d days",
+                                         (k % 4).cast("int")).alias("text")),
+                F.struct(F.lit("assessment").alias("field"),
+                         F.lit("Stable; continue current regimen")
+                         .alias("text")),
+            )).alias("ft"),
+            F.lit(0).alias("source_page"),
+            F.lit(0).alias("source_line_in_turn"),
+        ).select("conv_id", "visit_id", F.col("ft.field").alias("field"),
+                 F.col("ft.text").alias("text"), "source_page",
+                 "source_line_in_turn")
         secs = rx.entity_sections(medications=meds, problems=problems,
-                                  vitals=vitals, results=results, plan=plan)
+                                  vitals=vitals, results=results, plan=plan,
+                                  visit_texts=texts)
         return rx.render_ccd_xml(visits, sections=secs, patients=patients)
     q["ccd_xml_entities"] = q_ccd_xml_entities
 
@@ -1358,6 +1377,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.size(w) == 0).alias("valid"),
         )
     q["schema_warnings"] = q_schema_warnings
+
+    def q_encounter_type(spark, sf):
+        """EncounterType inference (enums.py:16-22 analog): ordered
+        first-match keyword scan; injected markers exercise each enum
+        value while the oracle replicates the full chain over the same
+        text (robust to keywords already present in the corpus)."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.sections import (
+            encounter_type_expr,
+        )
+        d = _read(spark, sf, "documents")
+        injected = (
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit("Discharge summary. "), F.col("text")))
+            .when(F.col("doc_id") % 5 == 1,
+                  F.concat(F.lit("Seen in clinic. "), F.col("text")))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.concat(F.lit("Telehealth visit. "), F.col("text")))
+            .otherwise(F.col("text"))
+        )
+        return d.select(
+            "doc_id", encounter_type_expr(injected).alias("encounter_type")
+        )
+    q["encounter_type"] = q_encounter_type
+
+    def q_data_quality(spark, sf):
+        """DataQuality rollup (canonical_schema.py:211-233):
+        completeness over the 19-name canonical section vocabulary,
+        missing critical fields, unclear-section count — section headers
+        and [UNCLEAR markers injected deterministically (same scheme as
+        section_spans)."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import rollups
+
+        d = _read(spark, sf, "documents")
+        injected = F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit(" the "),
+                          F.lit("\nMEDICATIONS:\n")),
+                F.lit(" and "), F.lit("\nPLAN\n"),
+            ),
+            F.lit(" of "), F.lit(" [UNCLEAR: x] "),
+        )
+        turns = d.select(
+            F.col("source").alias("conv_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            sections_expr(injected).alias("sections"),
+        )
+        out = rollups.data_quality_rollup(turns, include_confidence=False)
+        return out.select(
+            F.col("conv_id").alias("source"),
+            "completeness_score",
+            F.array_join("present_sections", "|").alias("present_sections"),
+            F.array_join("missing_critical_fields", "|")
+            .alias("missing_critical"),
+            "n_unclear_sections",
+        )
+    q["data_quality"] = q_data_quality
 
     ordered = {name: q[name] for name in _QUERY_ORDER if name in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2171,6 +2246,27 @@ WITH base AS (
   SELECT k, conv_id,
     '      <component>' || chr(10) ||
     '        <section>' || chr(10) ||
+    '          <code code="29299-5" codeSystem="2.16.840.1.113883.6.1" displayName="Reason for visit"/>' || chr(10) ||
+    '          <title>Reason for Visit</title>' || chr(10) ||
+    '          <text>Follow-up for diabetes</text>' || chr(10) ||
+    '        </section>' || chr(10) ||
+    '      </component>' AS reason_xml,
+    '      <component>' || chr(10) ||
+    '        <section>' || chr(10) ||
+    '          <code code="10164-2" codeSystem="2.16.840.1.113883.6.1" displayName="History of Present Illness"/>' || chr(10) ||
+    '          <title>History of Present Illness</title>' || chr(10) ||
+    '          <text>Symptoms for ' || CAST(k % 4 AS VARCHAR) || ' days</text>' || chr(10) ||
+    '        </section>' || chr(10) ||
+    '      </component>' AS hpi_xml,
+    '      <component>' || chr(10) ||
+    '        <section>' || chr(10) ||
+    '          <code code="51848-0" codeSystem="2.16.840.1.113883.6.1" displayName="Assessment"/>' || chr(10) ||
+    '          <title>Assessment</title>' || chr(10) ||
+    '          <text>Stable; continue current regimen</text>' || chr(10) ||
+    '        </section>' || chr(10) ||
+    '      </component>' AS assessment_xml,
+    '      <component>' || chr(10) ||
+    '        <section>' || chr(10) ||
     '          <code code="11450-4" codeSystem="2.16.840.1.113883.6.1" displayName="Problem List"/>' || chr(10) ||
     '          <title>Problem List</title>' || chr(10) ||
     '          <text><list><item>' ||
@@ -2238,8 +2334,10 @@ WITH base AS (
     '        <title>Visit visit_001</title>' || chr(10) ||
     '        <text mediaType="text/plain">doc</text>' || chr(10) ||
     '        <entry><observation><value unit="confidence">0.5000</value></observation></entry>' || chr(10) ||
+    reason_xml || chr(10) || hpi_xml || chr(10) ||
     problems_xml || chr(10) || medications_xml || chr(10) || vitals_xml ||
-    chr(10) || results_xml || chr(10) || plan_xml || chr(10) ||
+    chr(10) || results_xml || chr(10) || assessment_xml || chr(10) ||
+    plan_xml || chr(10) ||
     '      </section>' || chr(10) ||
     '    </component>' AS comp,
     '<recordTarget><patientRole>' || pid || '<patient>' || pname || birth ||
@@ -2265,8 +2363,71 @@ FROM visit
 
 def oracle_sql() -> dict[str, str]:
     tok_re = corpus.TOKEN_REGEX.replace("'", "''")
+    enc_chain = "\n".join(
+        f"WHEN contains(lower(txt), '{key}') THEN '{enc}'"
+        for key, enc in rules.ENCOUNTER_TYPE_RULES
+    )
+    enc_sql = f"""
+        WITH t AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN 'Discharge summary. ' || text
+                 WHEN doc_id % 5 = 1 THEN 'Seen in clinic. ' || text
+                 WHEN doc_id % 5 = 2 THEN 'Telehealth visit. ' || text
+                 ELSE text END AS txt
+          FROM documents
+        )
+        SELECT doc_id,
+          CASE {enc_chain} ELSE 'unknown' END AS encounter_type
+        FROM t
+    """
+    critical_list = ", ".join(f"'{c}'" for c in rules.CRITICAL_SECTIONS)
+    data_quality_sql = f"""
+        WITH docs AS (
+          SELECT source, doc_id,
+            string_split(
+              replace(replace(replace(text,
+                ' the ', chr(10) || 'MEDICATIONS:' || chr(10)),
+                ' and ', chr(10) || 'PLAN' || chr(10)),
+                ' of ', ' [UNCLEAR: x] '),
+              chr(10)) AS ls
+          FROM documents
+        ), lines AS (
+          SELECT source, doc_id, ls, i, ls[i] AS ln, len(ls) AS n_lines
+          FROM docs, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i)
+        ), hdrs AS (
+          SELECT source, doc_id, ls, i, n_lines,
+            {_section_match_sql('ln')} AS section,
+            lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS next_i
+          FROM lines
+          WHERE ({_section_match_sql('ln')}) IS NOT NULL
+        ), spans AS (
+          SELECT source, section,
+            array_to_string(ls[i : coalesce(next_i - 1, n_lines)], chr(10))
+              AS span_text
+          FROM hdrs
+        ), per_source AS (
+          SELECT source,
+            list_sort(list_distinct(list(section))) AS present,
+            SUM(CASE WHEN contains(span_text, '[UNCLEAR') THEN 1 ELSE 0 END)
+              AS n_unclear
+          FROM spans GROUP BY source
+        )
+        SELECT s.source,
+          CAST(len(coalesce(p.present, [])) AS DOUBLE) / 19
+            AS completeness_score,
+          COALESCE(array_to_string(p.present, '|'), '') AS present_sections,
+          COALESCE(array_to_string(
+            list_sort(list_filter([{critical_list}],
+              x -> NOT list_contains(coalesce(p.present, []), x))), '|'), '')
+            AS missing_critical,
+          CAST(coalesce(p.n_unclear, 0) AS BIGINT) AS n_unclear_sections
+        FROM (SELECT DISTINCT source FROM documents) s
+        LEFT JOIN per_source p ON p.source = s.source
+    """
     return {
         "ccd_xml_entities": _CCD_XML_ENTITIES_SQL,
+        "encounter_type": enc_sql,
+        "data_quality": data_quality_sql,
         "schema_warnings": """
             WITH v AS (
               SELECT 'c' || CAST(p_partkey AS VARCHAR) AS conv_id,

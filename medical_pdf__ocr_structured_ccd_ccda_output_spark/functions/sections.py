@@ -79,3 +79,17 @@ def sections_expr(text: Column) -> Column:
         )
 
     return F.zip_with(hdrs, ends, mk_span)
+
+
+def encounter_type_expr(text):
+    """Ordered first-match keyword scan -> EncounterType enum value
+    (rules.ENCOUNTER_TYPE_RULES; 'unknown' default per enums.py:16-22)."""
+    import pyspark.sql.functions as F
+
+    from .. import rules
+
+    low = F.lower(text)
+    expr = F.lit("unknown")
+    for key, enc in reversed(rules.ENCOUNTER_TYPE_RULES):
+        expr = F.when(low.contains(key), F.lit(enc)).otherwise(expr)
+    return expr

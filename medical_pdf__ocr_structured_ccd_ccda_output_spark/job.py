@@ -75,6 +75,8 @@ def main(argv: list[str] | None = None) -> None:
             tio.write_table(res.dedup_log, args.output, f"dedup_log{suffix}", mode)
         if res.quarantine is not None:
             tio.write_table(res.quarantine, args.output, f"quarantine{suffix}", mode)
+        if res.data_quality is not None:
+            tio.write_table(res.data_quality, args.output, f"data_quality{suffix}", mode)
         if res.ccd_xml is not None:
             tio.write_table(res.ccd_xml, args.output, f"ccd_xml{suffix}", mode)
         tio.write_table(res.metrics, args.output, f"metrics{suffix}", mode)

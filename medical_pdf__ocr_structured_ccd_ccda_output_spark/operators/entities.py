@@ -196,3 +196,64 @@ def extract_plan_items(turns: DataFrame) -> DataFrame:
         )
         .filter(F.col("action") != "")
     )
+
+
+def extract_visit_texts(turns: DataFrame) -> DataFrame:
+    """Visit-level text fields (canonical_schema.py:168-179): the body
+    text of CHIEF COMPLAINT / REASON FOR VISIT / HPI / ASSESSMENT
+    sections, concatenated in document order per (conv_id, visit_id).
+    Returns (conv_id, visit_id, field, text, source_page,
+    source_line_in_turn) — one row per contributing section span."""
+    names = tuple(rules.VISIT_TEXT_SECTIONS)
+    sec = F.explode(
+        F.filter(F.col("sections"), lambda s: s["section"].isin(*names))
+    ).alias("sec")
+    base = turns.select("conv_id", "visit_id", "turn_idx", sec)
+    field = F.lit(None).cast("string")
+    for name, canonical in reversed(list(rules.VISIT_TEXT_SECTIONS.items())):
+        field = F.when(F.col("sec.section") == name, F.lit(canonical)) \
+            .otherwise(field)
+    # body = inline content after the header colon (the `HEADER: text`
+    # form, common for CHIEF COMPLAINT) + the span's remaining lines
+    first_line = F.regexp_extract(F.col("sec.text"), r"^([^\n]*)", 1)
+    inline = F.when(
+        first_line.contains(":"),
+        F.trim(F.regexp_replace(first_line, r"^[^:]*:", "")),
+    ).otherwise(F.lit(""))
+    rest = F.regexp_replace(F.col("sec.text"), r"^[^\n]*\n?", "")
+    body = (
+        F.when((inline != "") & (rest != ""),
+               F.concat(inline, F.lit("\n"), rest))
+        .when(inline != "", inline)
+        .otherwise(rest)
+    )
+    return base.select(
+        "conv_id", "visit_id",
+        field.alias("field"),
+        body.alias("text"),
+        F.col("turn_idx").alias("source_page"),
+        F.col("sec.start_line").alias("source_line_in_turn"),
+    ).filter(F.col("text") != "")
+
+
+def visit_text_fields(turns: DataFrame) -> DataFrame:
+    """Pivoted per-visit form: (conv_id, visit_id, reason_for_visit,
+    history_of_present_illness, assessment) — document-order '\\n'
+    concatenation when a field spans several turns."""
+    rows = extract_visit_texts(turns)
+    ordered = F.struct("source_page", "source_line_in_turn",
+                       F.col("text").alias("t"))
+    agg = rows.groupBy("conv_id", "visit_id").agg(*[
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("field") == f, ordered))
+                ),
+                lambda s: s["t"],
+            ),
+            "\n",
+        ).alias(f)
+        for f in ("reason_for_visit", "history_of_present_illness",
+                  "assessment")
+    ])
+    return agg

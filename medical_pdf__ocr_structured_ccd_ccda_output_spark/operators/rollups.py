@@ -83,3 +83,40 @@ def stage_metrics(turns_with_visits: DataFrame) -> DataFrame:
         ).alias("kv")
     )
     return stacked.select("kv.metric", "kv.value")
+
+
+def data_quality_rollup(turns_with_sections: DataFrame,
+                        include_confidence: bool = True) -> DataFrame:
+    """Per-conversation DataQuality analog (canonical_schema.py:211-233):
+    completeness_score = fraction of the canonical section vocabulary
+    present, unclear-section count (spans containing an [UNCLEAR
+    marker), missing critical fields, and the avg-confidence score.
+    One groupBy over the sections array — no explode, no extra shuffle."""
+    from .. import rules
+
+    sec_names = F.transform(F.col("sections"), lambda s: s["section"])
+    unclear_in_turn = F.size(
+        F.filter(F.col("sections"), lambda s: s["text"].contains("[UNCLEAR"))
+    )
+    aggs = [
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(sec_names)))
+        ).alias("present_sections"),
+        F.sum(unclear_in_turn).cast("long").alias("n_unclear_sections"),
+    ]
+    if include_confidence:
+        aggs.append(F.bround(F.avg("confidence"), 2).alias("confidence_score"))
+    agg = turns_with_sections.groupBy("conv_id").agg(*aggs)
+    expected = F.array(*[F.lit(s) for s in rules.EXPECTED_SECTIONS])
+    critical = F.array(*[F.lit(s) for s in rules.CRITICAL_SECTIONS])
+    return agg.select(
+        "conv_id",
+        (F.size("present_sections").cast("double")
+         / F.lit(float(len(rules.EXPECTED_SECTIONS))))
+        .alias("completeness_score"),
+        "present_sections",
+        F.array_sort(F.array_except(critical, F.col("present_sections")))
+        .alias("missing_critical_fields"),
+        "n_unclear_sections",
+        *(["confidence_score"] if include_confidence else []),
+    )

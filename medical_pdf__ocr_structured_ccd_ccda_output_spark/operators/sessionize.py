@@ -141,6 +141,22 @@ def visit_rollup(turns_with_visits: DataFrame,
         (F.min("confidence") if confidence_agg == "min"
          else F.avg("confidence")).alias("confidence"),
     ]
+    if "text_clean" in turns_with_visits.columns:
+        # EncounterType (enums.py:16-22): first non-unknown per-turn
+        # keyword guess in turn order, 'unknown' otherwise — same
+        # min-over-struct trick as visit_date (no extra shuffle)
+        from ..functions.sections import encounter_type_expr
+
+        guess = encounter_type_expr(F.col("text_clean"))
+        aggs.append(
+            F.coalesce(
+                F.min(
+                    F.when(guess != "unknown",
+                           F.struct("turn_idx", guess.alias("g")))
+                )["g"],
+                F.lit("unknown"),
+            ).alias("encounter_type")
+        )
     if include_raw_text:
         aggs.append(
             F.array_join(

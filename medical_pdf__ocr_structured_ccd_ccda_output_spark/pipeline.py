@@ -27,7 +27,11 @@ from .operators.entities import (
     extract_vitals,
 )
 from .operators.extract import extract_turns
-from .operators.rollups import document_rollup, stage_metrics
+from .operators.rollups import (
+    data_quality_rollup,
+    document_rollup,
+    stage_metrics,
+)
 from .operators.sessionize import (
     assign_visits,
     assign_visits_skew_aware,
@@ -53,6 +57,7 @@ class PipelineResult:
     vitals: DataFrame | None = None
     allergies: DataFrame | None = None
     plan_items: DataFrame | None = None
+    data_quality: DataFrame | None = None
 
 
 def conversation_quality(transcripts: DataFrame) -> DataFrame:
@@ -132,6 +137,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
             _F.col("visit_id"), _F.col("confidence"), _F.col("turn_count")
         ),
     )
+    data_quality = data_quality_rollup(turns)
     docs = document_rollup(turns, include_combined_text=include_raw_text)
     metrics = stage_metrics(turns)
 
@@ -183,12 +189,15 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                     "source_page", F.element_at("source_pages", 1)
                 ).withColumn("source_line_in_turn", F.lit(0))
 
+            from .operators.entities import extract_visit_texts
+
             sections = entity_sections(
                 medications=_first_page(meds),
                 problems=_first_page(probs),
                 vitals=vits,
                 results=_first_page(labs),
                 plan=_first_page(plans),
+                visit_texts=extract_visit_texts(turns),
             )
         xml = render_ccd_xml(visits, sections=sections)
 
@@ -207,4 +216,5 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         vitals=vits,
         allergies=alls,
         plan_items=plans,
+        data_quality=data_quality,
     )

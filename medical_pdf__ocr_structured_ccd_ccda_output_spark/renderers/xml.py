@@ -338,17 +338,21 @@ def entity_sections(medications: DataFrame | None = None,
                     problems: DataFrame | None = None,
                     vitals: DataFrame | None = None,
                     results: DataFrame | None = None,
-                    plan: DataFrame | None = None) -> DataFrame:
-    """(conv_id, visit_id, sections_xml): all per-visit entity sections in
-    reference render order (problems, medications, vitals, results, plan
-    — xml_renderer.py:205-212); absent sections are skipped the way the
+                    plan: DataFrame | None = None,
+                    visit_texts: DataFrame | None = None) -> DataFrame:
+    """(conv_id, visit_id, sections_xml): all per-visit sections in
+    reference render order (reason-for-visit, HPI, problems,
+    medications, vitals, results, assessment, plan —
+    xml_renderer.py:205-212); absent sections are skipped the way the
     reference's early returns skip empty lists (concat_ws drops nulls).
+    `visit_texts` is entities.extract_visit_texts output (long form
+    with a `field` column) feeding the three text sections.
 
     Fused plan: rows are rendered per kind BEFORE a union-with-kind-rank,
-    so all five sections come out of ONE groupBy (conv_id, visit_id)
-    aggregation — one shuffle instead of five aggs + four full-outer
+    so every section comes out of ONE groupBy (conv_id, visit_id)
+    aggregation — one shuffle instead of per-kind aggs + full-outer
     joins (measured 15 exchanges -> 2 on the contract query)."""
-    kinds = []  # (rank, source rows with rendered _row, wrap fn)
+    kinds = []  # (rank, rows with rendered _row, (code,display,title,wrap,sep))
     mk = lambda df, rank, row: df.select(  # noqa: E731
         "conv_id", "visit_id",
         F.lit(rank).alias("_rank"),
@@ -357,29 +361,49 @@ def entity_sections(medications: DataFrame | None = None,
         row.alias("_row"),
     )
     list_wrap = lambda body: F.format_string("<list>%s</list>", body)  # noqa: E731
+    text_wrap = lambda body: body  # noqa: E731  (escaped text IS the body)
+
+    def text_kind(rank, field, code, display, title):
+        rows = visit_texts.filter(F.col("field") == field).select(
+            "conv_id", "visit_id", "source_page", "source_line_in_turn",
+            xml_escape(F.col("text")).alias("_t"),
+        )
+        kinds.append((rank, mk(rows, rank, F.col("_t")),
+                      (code, display, title, text_wrap, "\n")))
+
+    if visit_texts is not None:
+        # xml_renderer.py:214-232 — Reason for Visit, HPI
+        text_kind(0, "reason_for_visit", "29299-5", "Reason for visit",
+                  "Reason for Visit")
+        text_kind(1, "history_of_present_illness", "10164-2",
+                  "History of Present Illness", "History of Present Illness")
     if problems is not None:
-        kinds.append((0, mk(problems, 0, _problem_row()),
-                      ("11450-4", "Problem List", "Problem List", list_wrap)))
+        kinds.append((2, mk(problems, 2, _problem_row()),
+                      ("11450-4", "Problem List", "Problem List",
+                       list_wrap, "")))
     if medications is not None:
-        kinds.append((1, mk(medications, 1, _medication_row()),
+        kinds.append((3, mk(medications, 3, _medication_row()),
                       ("10160-0", "Medication History", "Medications",
                        lambda b: F.format_string(
                            "<table>%s<tbody>%s</tbody></table>",
-                           F.lit(_MED_HEADER), b))))
+                           F.lit(_MED_HEADER), b), "")))
     if vitals is not None:
-        kinds.append((2, mk(vitals.filter(F.col("value").isNotNull()), 2,
+        kinds.append((4, mk(vitals.filter(F.col("value").isNotNull()), 4,
                             _vital_row()),
-                      ("8716-3", "Vital Signs", "Vital Signs", list_wrap)))
+                      ("8716-3", "Vital Signs", "Vital Signs", list_wrap, "")))
     if results is not None:
-        kinds.append((3, mk(results, 3, _result_row()),
+        kinds.append((5, mk(results, 5, _result_row()),
                       ("30954-2", "Relevant diagnostic tests/laboratory data",
                        "Results",
                        lambda b: F.format_string(
                            "<table>%s<tbody>%s</tbody></table>",
-                           F.lit(_RESULT_HEADER), b))))
+                           F.lit(_RESULT_HEADER), b), "")))
+    if visit_texts is not None:
+        # xml_renderer.py:405-422 — Assessment
+        text_kind(6, "assessment", "51848-0", "Assessment", "Assessment")
     if plan is not None:
-        kinds.append((4, mk(plan, 4, _plan_row()),
-                      ("18776-5", "Plan of Care", "Plan", list_wrap)))
+        kinds.append((7, mk(plan, 7, _plan_row()),
+                      ("18776-5", "Plan of Care", "Plan", list_wrap, "")))
     if not kinds:
         raise ValueError("at least one entity DataFrame is required")
 
@@ -394,9 +418,9 @@ def entity_sections(medications: DataFrame | None = None,
         ).alias("_rows")
     )
     sections = []
-    for rank, _df, (code, display, title, wrap) in kinds:
+    for rank, _df, (code, display, title, wrap, sep) in kinds:
         of_kind = F.filter(F.col("_rows"), lambda r: r["_rank"] == rank)
-        body = F.array_join(F.transform(of_kind, lambda r: r["_row"]), "")
+        body = F.array_join(F.transform(of_kind, lambda r: r["_row"]), sep)
         sections.append(
             F.when(F.size(of_kind) > 0,
                    _section_xml(code, display, title, wrap(body)))

@@ -922,3 +922,55 @@ def visit_warnings(visit_id: str | None, confidence: float | None,
     if schema_version != SUPPORTED_SCHEMA_VERSION:
         w.append("unsupported_schema_version")
     return w
+
+
+# ---------------------------------------------------------------------------
+# 16. Visit-level text fields (the reference's LLM structuring fills
+#     reason_for_visit / history_of_present_illness / assessment from
+#     the corresponding note sections; deterministic analog = the
+#     section span's body text, canonical_schema.py:168-171,179)
+# ---------------------------------------------------------------------------
+
+VISIT_TEXT_SECTIONS = {
+    "CHIEF COMPLAINT": "reason_for_visit",
+    "REASON FOR VISIT": "reason_for_visit",
+    "HISTORY OF PRESENT ILLNESS": "history_of_present_illness",
+    "ASSESSMENT": "assessment",
+}
+
+
+# ---------------------------------------------------------------------------
+# 17. Encounter-type inference (EncounterType enum, enums.py:16-22;
+#     the reference's structuring LLM fills this — deterministic analog
+#     is an ordered first-match keyword scan of the turn text)
+# ---------------------------------------------------------------------------
+
+ENCOUNTER_TYPE_RULES: list[tuple[str, str]] = [
+    ("emergency", "emergency"), ("er visit", "emergency"),
+    ("telehealth", "telehealth"), ("phone visit", "telehealth"),
+    ("video visit", "telehealth"),
+    ("discharge", "inpatient"), ("admitted", "inpatient"),
+    ("admission", "inpatient"), ("inpatient", "inpatient"),
+    ("office visit", "outpatient"), ("clinic", "outpatient"),
+    ("follow-up", "outpatient"), ("follow up", "outpatient"),
+]
+
+
+def infer_encounter_type(text: str | None) -> str:
+    low = (text or "").lower()
+    for key, enc in ENCOUNTER_TYPE_RULES:
+        if key in low:
+            return enc
+    return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# 18. DataQuality (canonical_schema.py:211-233): completeness over the
+#     canonical section vocabulary, unclear-section markers, and the
+#     critical fields whose absence is worth flagging
+# ---------------------------------------------------------------------------
+
+EXPECTED_SECTIONS = sorted(
+    set(MEDICAL_SECTIONS) | {c for _, c in EXTRA_SECTION_HEADERS}
+)
+CRITICAL_SECTIONS = ["ALLERGIES", "ASSESSMENT", "MEDICATIONS", "PLAN"]

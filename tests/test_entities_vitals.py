@@ -264,3 +264,86 @@ def test_visit_schema_warnings_parity(spark):
         want = rules.visit_warnings(r["visit_id"], r["confidence"],
                                     r["page_count"], r["ver"])
         assert list(r["w"]) == want, (r["visit_id"], r["w"], want)
+
+
+def test_extract_visit_texts(turns):
+    """Visit-level text fields from section bodies (reason/HPI/assessment)."""
+    rows = entities.extract_visit_texts(turns).collect()
+    by_field = {}
+    for r in rows:
+        by_field.setdefault(r["field"], []).append(r["text"])
+    # VITALS_TEXT has no CHIEF COMPLAINT/HPI/ASSESSMENT sections
+    assert by_field == {} or set(by_field) <= {
+        "reason_for_visit", "history_of_present_illness", "assessment"}
+
+    tr = spark_df = turns.sparkSession.createDataFrame(
+        [("c9", 1, "user",
+          "CHIEF COMPLAINT: polyuria\nHISTORY OF PRESENT ILLNESS:\n"
+          "Three weeks of symptoms.\nWorse at night.\nASSESSMENT\n"
+          "Likely DI.\nPLAN\nOrder labs", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    t2 = assign_visits(extract_turns(tr))
+    fields = {r["field"]: r["text"]
+              for r in entities.extract_visit_texts(t2).collect()}
+    assert fields["history_of_present_illness"] == \
+        "Three weeks of symptoms.\nWorse at night."
+    assert fields["assessment"] == "Likely DI."
+    # `HEADER: inline` form keeps the inline content as the body
+    assert fields["reason_for_visit"] == "polyuria"
+    piv = entities.visit_text_fields(t2).first()
+    assert piv["assessment"] == "Likely DI."
+    assert piv["reason_for_visit"] == "polyuria"
+
+    secs = rx.entity_sections(visit_texts=entities.extract_visit_texts(t2))
+    xml = secs.first()["sections_xml"]
+    assert '<code code="10164-2"' in xml and "Three weeks" in xml
+    assert '<code code="51848-0"' in xml and "Likely DI." in xml
+    assert xml.index("10164-2") < xml.index("51848-0")
+
+
+def test_encounter_type_inference(spark):
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.sections import (
+        encounter_type_expr,
+    )
+    texts = ["Discharge summary for patient", "seen in clinic today",
+             "Telehealth visit with video", "ER visit last night",
+             "plain note", "emergency admission"]  # emergency wins over admission
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    got = {r["i"]: r["e"]
+           for r in df.select("i", encounter_type_expr(F.col("text")).alias("e")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == rules.infer_encounter_type(t), t
+    assert got[5] == "emergency"
+
+
+def test_visit_rollup_encounter_type(spark):
+    tr = spark.createDataFrame(
+        [("c1", 1, "user", "Visit Date: 01/02/2024\nplain text", None, None),
+         ("c1", 2, "user", "Patient was admitted overnight.", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import (
+        visit_rollup,
+    )
+    v = visit_rollup(assign_visits(extract_turns(tr))).first()
+    assert v["encounter_type"] == "inpatient"
+
+
+def test_data_quality_rollup(turns):
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.rollups import (
+        data_quality_rollup,
+    )
+    dq = data_quality_rollup(turns).first()
+    present = list(dq["present_sections"])
+    # VITALS_TEXT contains VITAL SIGNS / ALLERGIES / PLAN sections
+    assert {"VITAL SIGNS", "ALLERGIES", "PLAN"} <= set(present)
+    assert present == sorted(set(present))
+    assert abs(dq["completeness_score"]
+               - len(present) / len(rules.EXPECTED_SECTIONS)) < 1e-12
+    missing = list(dq["missing_critical_fields"])
+    assert "MEDICATIONS" in missing and "ASSESSMENT" in missing
+    assert "PLAN" not in missing and "ALLERGIES" not in missing
+    assert dq["n_unclear_sections"] == 0
+    assert 0.0 <= dq["confidence_score"] <= 1.0
