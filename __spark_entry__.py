@@ -89,13 +89,13 @@ _QUERY_ORDER = [
     # relational showcases kept in the scored window
     "region_revenue", "topk_per_group",
     # ---- tail: oracled but redundant with queries above ----
-    "schema_warnings", "encounter_type", "data_quality", "top_orders",
-    "pricing_summary", "top_suppliers",
+    "schema_warnings", "encounter_type", "data_quality", "emb_near_dups",
+    "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
     "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
-    "fingerprints", "ann_lsh", "media_features",
+    "fingerprints", "ann_lsh", "emb_near_dups_lsh", "media_features",
 ]
 
 
@@ -1434,6 +1434,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["data_quality"] = q_data_quality
 
+    def _aug_embeddings(spark, sf):
+        """embeddings + near-dup clones (first component zeroed, id
+        +100000 on every 10th vector) — cosine(orig, clone) ≈ 0.99,
+        deterministic and engine-portable (list slice + prepend)."""
+        emb = _read(spark, sf, "embeddings").select("vec_id", "embedding")
+        clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array(F.lit(0.0).cast("float")),
+                F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
+            ).alias("embedding"),
+        )
+        return emb.unionByName(clones)
+
+    def q_emb_near_dups(spark, sf):
+        """Embedding-cosine near-dup pairs, brute-force correctness tier
+        (exact sequential-fold cosine, unrounded — bit-identical to the
+        oracle's double list_dot_product)."""
+        return similarity.cosine_near_dups(
+            _aug_embeddings(spark, sf), threshold=0.9, round_to=None
+        )
+    q["emb_near_dups"] = q_emb_near_dups
+
+    def q_emb_near_dups_lsh(spark, sf):
+        """Production tier: OR-amplified hyperplane LSH candidates +
+        exact cosine re-score (no all-pairs); pytest pins recall against
+        the brute tier."""
+        return similarity.cosine_near_dups_lsh(
+            _aug_embeddings(spark, sf), threshold=0.9,
+            n_planes=8, n_tables=8, dim=64,
+        )
+    q["emb_near_dups_lsh"] = q_emb_near_dups_lsh
+
     ordered = {name: q[name] for name in _QUERY_ORDER if name in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
@@ -2428,6 +2461,22 @@ def oracle_sql() -> dict[str, str]:
         "ccd_xml_entities": _CCD_XML_ENTITIES_SQL,
         "encounter_type": enc_sql,
         "data_quality": data_quality_sql,
+        "emb_near_dups": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                list_concat([CAST(0.0 AS FLOAT)], embedding[2:])
+              FROM embeddings WHERE vec_id % 10 = 0
+            ), s AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS score
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, score FROM s WHERE score >= 0.9
+        """,
         "schema_warnings": """
             WITH v AS (
               SELECT 'c' || CAST(p_partkey AS VARCHAR) AS conv_id,

@@ -231,3 +231,60 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
     )
+
+
+def cosine_near_dups(embeddings: DataFrame, threshold: float = 0.9,
+                     round_to: int | None = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, brute-force tier: every
+    (a < b) pair scored with the exact sequential-fold cosine.  This is
+    the CORRECTNESS tier (quadratic — fine for oracle-scale inputs or
+    within small blocks); the scale path is cosine_near_dups_lsh."""
+    a, b = embeddings.alias("a"), embeddings.alias("b")
+    score = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    out = F.round(score, round_to) if round_to is not None else score
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            out.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def cosine_near_dups_lsh(embeddings: DataFrame, threshold: float = 0.9,
+                         n_planes: int = 8, n_tables: int = 8,
+                         dim: int = 64, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dups at scale: candidates are pairs
+    colliding in ANY hyperplane table (OR-amplified — high-cosine pairs
+    collide with probability (1-theta/pi)^H per table), then exact
+    cosine re-scores candidates only.  The self-join is equi on
+    (table, bucket) — no cross product; one Arrow matmul per batch
+    computes all table signatures."""
+    buckets = lsh_buckets_udf(dim, n_planes, n_tables, seed)
+    sig = embeddings.select(
+        "vec_id", "embedding",
+        F.posexplode(buckets(F.col("embedding"))).alias("tbl", "bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    score = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.select("id_a", "id_b", F.round(score, 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )

@@ -199,3 +199,28 @@ def test_ngram_jaccard_banded_tier(spark, docs):
     assert exact_pairs <= set(banded)
     for k in set(min_tier) & set(banded):
         assert min_tier[k] == banded[k]
+
+
+def test_cosine_near_dups_tiers(spark, emb):
+    """Brute tier matches a numpy oracle; LSH tier recovers the
+    high-cosine pairs without all-pairs work."""
+    base = emb.select("vec_id", "embedding")
+    clones = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(F.array(F.lit(0.0).cast("float")),
+                 F.slice(F.col("embedding"), 2, F.size("embedding") - 1))
+        .alias("embedding"),
+    )
+    aug = base.unionByName(clones)
+    brute = {(r["id_a"], r["id_b"]) for r in
+             similarity.cosine_near_dups(aug, threshold=0.9).collect()}
+    n_clones = clones.count()
+    assert len(brute) == n_clones  # each clone pairs only with its source
+    assert all(b - a == 100000 for a, b in brute)
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           similarity.cosine_near_dups_lsh(aug, threshold=0.9,
+                                           n_planes=8, n_tables=8,
+                                           dim=64).collect()}
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.9, recall
+    assert lsh <= brute  # exact re-score: no false positives
