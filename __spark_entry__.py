@@ -1553,12 +1553,14 @@ def _clean_sql(src: str = "documents", keys: str = "doc_id",
     return f"""
 WITH kept AS (
   SELECT {keys},
-    array_to_string(
+    -- COALESCE: all-boilerplate payloads filter to an empty list, which
+    -- duckdb's array_to_string turns into NULL (Spark array_join: '')
+    COALESCE(array_to_string(
       list_transform(
         list_filter(string_split({text}, chr(10)),
                     l -> NOT regexp_matches(l, '{_BOILER_RE_SQL}')),
         l -> regexp_replace(l, '\\s+$', '', 'g')),
-      chr(10)) AS joined
+      chr(10)), '') AS joined
   FROM {src}
 ), collapsed AS (
   SELECT {keys},
@@ -2004,7 +2006,9 @@ UNION ALL SELECT 'uncertain_tokens_total', CAST(uncertain_tokens_total AS DOUBLE
 _REVIEW_REASONS_SQL = f"""
 WITH {_EXTRACT_CTES}
 SELECT source, doc_id,
-  array_to_string({_REASONS_LIST_SQL}, '|') AS reasons
+  -- COALESCE: duckdb array_to_string of an empty list is NULL, Spark
+  -- array_join is '' (surfaces only at SFs where a doc has no reasons)
+  COALESCE(array_to_string({_REASONS_LIST_SQL}, '|'), '') AS reasons
 FROM feats
 """
 
@@ -2018,7 +2022,8 @@ SELECT f.source,
   CAST(SUM(CASE WHEN f.needs_review THEN 1 ELSE 0 END) AS BIGINT) AS pages_needing_review,
   CAST(SUM(f.unclear_markers) AS BIGINT) AS unclear_marker_count,
   CAST(SUM(f.n_chars) AS BIGINT) AS total_characters,
-  array_to_string(list_sort(list_distinct(flatten(list({_REASONS_LIST_SQL})))), '|')
+  COALESCE(array_to_string(
+    list_sort(list_distinct(flatten(list({_REASONS_LIST_SQL})))), '|'), '')
     AS review_reasons_sorted
 FROM feats f
 JOIN seq s ON s.source = f.source AND s.doc_id = f.doc_id
