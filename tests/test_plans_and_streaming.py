@@ -141,3 +141,28 @@ def test_stateful_sessionize_cross_batch(spark, tmp_path):
     # turn... none), boundary at 2 -> 002, boundary at 4 (batch 2) -> 003
     assert got[("c1", 4)] == "visit_003"
     assert got[("c2", 3)] == "visit_002"
+
+
+def test_round2_plan_pins(spark, sf_dir):
+    """Shuffle budgets for the round-2 operators: extraction queries
+    stay narrow, aggregation queries cost exactly one exchange, and the
+    fused entity-section XML stays at two (one section agg + one
+    per-conv agg) instead of the per-kind agg + full-outer-join shape
+    (15 exchanges) it replaced."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "vitals_extract": 0,
+        "allergies_plan": 0,
+        "schema_warnings": 0,
+        "encounter_type": 0,
+        "ingest_quarantine": 1,
+        "problems_merge": 1,
+        "lab_conflicts": 1,
+        "data_quality": 1,
+        "ccd_xml_entities": 2,
+    }
+    for name, budget in budgets.items():
+        n = shuffle_exchange_count(qs[name](spark, sf_dir))
+        assert n <= budget, f"{name}: {n} shuffles > budget {budget}"
