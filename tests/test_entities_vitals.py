@@ -347,3 +347,41 @@ def test_data_quality_rollup(turns):
     assert "PLAN" not in missing and "ALLERGIES" not in missing
     assert dq["n_unclear_sections"] == 0
     assert 0.0 <= dq["confidence_score"] <= 1.0
+
+
+def test_renderer_edge_cases(spark):
+    """Reference renderer edge cases (test_full_pipeline.py:260-308):
+    special characters, XML-reserved characters, empty entity sets, and
+    long text all yield well-formed parseable XML."""
+    import xml.etree.ElementTree as ET
+
+    probs = spark.createDataFrame(
+        [("c1", "visit_001", "BP ↑ 140/90 ± 5 & HbA1c ≥ 8%",
+          None, None, 1, 1),
+         ("c1", "visit_001", 'cough <severe> "wet"', None, None, 2, 1)],
+        "conv_id string, visit_id string, problem string, icd10_code string, "
+        "status string, source_page int, source_line_in_turn int")
+    meds = spark.createDataFrame(
+        [("c1", "visit_001", "Drug <A> & B", "x" * 5000, None, None, 1, 1)],
+        "conv_id string, visit_id string, name string, dose string, "
+        "frequency string, route string, source_page int, source_line_in_turn int")
+    secs = rx.entity_sections(medications=meds, problems=probs)
+    visits = spark.createDataFrame(
+        [("c1", "visit_001", None, "note & <text>", 0.72)],
+        "conv_id string, visit_id string, visit_date date, raw_text string, "
+        "confidence double")
+    xml_str = rx.render_ccd_xml(visits, sections=secs).first()["ccd_xml"]
+    root = ET.fromstring(xml_str)  # must parse despite &, <, >, ", unicode
+    assert root.tag.endswith("ClinicalDocument")
+    assert "↑" in xml_str and "&amp;" in xml_str and "&lt;severe&gt;" in xml_str
+    assert "x" * 5000 in xml_str
+
+    # empty entity DataFrames -> no entity sections, still well-formed
+    empty = spark.createDataFrame(
+        [], "conv_id string, visit_id string, problem string, "
+            "icd10_code string, status string, source_page int, "
+            "source_line_in_turn int")
+    secs2 = rx.entity_sections(problems=empty)
+    out2 = rx.render_ccd_xml(visits, sections=secs2).first()["ccd_xml"]
+    ET.fromstring(out2)
+    assert "11450-4" not in out2
