@@ -105,7 +105,8 @@ _QUERY_ORDER = [
     "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
-    "fingerprints", "ann_lsh", "emb_near_dups_lsh", "media_features",
+    "fingerprints", "ann_lsh", "ann_ivf", "emb_near_dups_lsh",
+    "media_features",
 ]
 
 
@@ -1476,6 +1477,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_planes=8, n_tables=8, dim=64,
         )
     q["emb_near_dups_lsh"] = q_emb_near_dups_lsh
+
+    def q_ann_ivf(spark, sf):
+        """IVF ANN tier (rows-only: the k-means index is not
+        SQL-expressible; pytest pins recall and the probe-all == brute
+        equivalence): deterministic coarse quantizer, cell-equi-join
+        candidates, exact cosine re-rank."""
+        emb = _read(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        cents = similarity.ivf_centroids(emb, n_centroids=16, iters=5, dim=64)
+        return similarity.ivf_topk(emb, queries_df, cents, k=5, nprobe=8)
+    q["ann_ivf"] = q_ann_ivf
 
     ordered = {name: q[name] for name in _QUERY_ORDER if name in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})

@@ -288,3 +288,93 @@ def cosine_near_dups_lsh(embeddings: DataFrame, threshold: float = 0.9,
         cand.select("id_a", "id_b", F.round(score, 6).alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                  iters: int = 5, sample: int = 4096, seed: int = 42,
+                  dim: int = 64):
+    """Deterministic IVF coarse quantizer: seeded k-means on a bounded
+    driver-side sample (the standard index-build step — the index is
+    tiny and broadcast; the CORPUS never leaves the executors).
+    Returns an (n_centroids, dim) float64 ndarray."""
+    import numpy as np
+
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id").limit(sample).collect()
+    )
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    rs = np.random.RandomState(seed)
+    C = X[rs.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def _ivf_assign_udf(C, top: int = 1):
+    """Arrow-batched nearest-centroid assignment: one distance matrix
+    per batch; returns array<int> of the `top` nearest centroid ids."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    Cq = C.copy()
+
+    @pandas_udf("array<int>")
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        d2 = ((M[:, None, :] - Cq[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :top]
+        return pd.Series([[int(c) for c in row] for row in order])
+
+    return _assign
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, centroids,
+             k: int = 5, nprobe: int = 4) -> DataFrame:
+    """IVF ANN: corpus vectors live in their nearest centroid cell;
+    each query probes its `nprobe` nearest cells; candidates get the
+    exact cosine re-rank.  The join is equi on the cell id — shuffle
+    volume is corpus×1 + queries×nprobe rows, never all-pairs; cells
+    are bounded by the quantizer (no logical hot key beyond cluster
+    imbalance, which nprobe amortizes)."""
+    assign1 = _ivf_assign_udf(centroids, top=1)
+    assignp = _ivf_assign_udf(centroids, top=nprobe)
+    e_cell = embeddings.select(
+        "vec_id", "embedding",
+        F.explode(assign1(F.col("embedding"))).alias("cell"),
+    ).alias("e")
+    q_cell = F.broadcast(
+        queries.select(
+            "query_id", "query_vec",
+            F.explode(assignp(F.col("query_vec"))).alias("cell"),
+        )
+    ).alias("q")
+    cand = (
+        q_cell.join(
+            e_cell,
+            (F.col("q.cell") == F.col("e.cell"))
+            & (F.col("q.query_id") != F.col("e.vec_id")),
+        )
+        .select("q.query_id", "q.query_vec",
+                F.col("e.vec_id").alias("neighbor_id"), F.col("e.embedding"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("query_vec"), F.col("embedding")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+    )

@@ -224,3 +224,27 @@ def test_cosine_near_dups_tiers(spark, emb):
     recall = len(brute & lsh) / len(brute)
     assert recall >= 0.9, recall
     assert lsh <= brute  # exact re-score: no false positives
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF tier: deterministic k-means index, cell-equi-join candidates,
+    exact re-rank.  Recall measured against brute force; probing all
+    cells must recover brute force exactly."""
+    queries = emb.limit(10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    C = similarity.ivf_centroids(emb, n_centroids=16, iters=5, dim=64)
+    assert C.shape == (16, 64)
+    C2 = similarity.ivf_centroids(emb, n_centroids=16, iters=5, dim=64)
+    assert (C == C2).all()  # deterministic index build
+
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+    approx = similarity.ivf_topk(emb, queries, C, k=5, nprobe=8).collect()
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, recall  # random 64-dim data: nprobe 8/16 cells
+
+    full = similarity.ivf_topk(emb, queries, C, k=5, nprobe=16).collect()
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
+    assert full_set == exact_set  # probing every cell == brute force
