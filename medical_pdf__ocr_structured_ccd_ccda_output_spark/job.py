@@ -37,6 +37,11 @@ def main(argv: list[str] | None = None) -> None:
                         "collect at pathological conversation sizes)")
     p.add_argument("--no-validation", action="store_true",
                    help="skip the P1 ingest validation / quarantine branch")
+    p.add_argument("--max-text-chars", type=int, default=10_000_000,
+                   help="bound per-conversation/visit combined-text "
+                        "aggregation state (chars); 0 disables the cap "
+                        "(reference semantics, unbounded at pathological "
+                        "conversation sizes)")
     args = p.parse_args(argv)
 
     spark = get_spark("ccda_extraction_job")
@@ -59,6 +64,7 @@ def main(argv: list[str] | None = None) -> None:
             skew_aware=args.skew_aware,
             include_raw_text=not args.no_raw_text,
             with_validation=not args.no_validation,
+            max_text_chars=args.max_text_chars or None,
         )
         mode = "overwrite"
         suffix = f"_shard{shard}" if args.shards > 1 else ""

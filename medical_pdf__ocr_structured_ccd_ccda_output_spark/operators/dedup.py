@@ -68,7 +68,8 @@ def _output_schema(kind: str) -> str:
     return (
         "conv_id string, visit_id string, row_kind string, "
         f"{ent}, "
-        "source_pages array<int>, merge_confidence double, "
+        "source_pages array<int>, source_line_in_turn int, "
+        "merge_confidence double, "
         "alternative_representations array<string>, value_conflicts_json string, "
         "log_action string, log_reason string, log_item1 string, "
         "log_item2 string, log_similarity double, log_threshold double, "
@@ -122,6 +123,14 @@ def dedup_entities(entities: DataFrame, kind: str,
                     "row_kind": "entity",
                     **{f: m.get(f) for f in fields},
                     "source_pages": [int(p) for p in m.get("source_pages", [])],
+                    # base record's document-order ordinal (merge() copies
+                    # the kept record's fields) — lets renderers sort
+                    # same-page entities in true document order instead of
+                    # a pinned 0
+                    "source_line_in_turn": (
+                        int(m["source_line_in_turn"])
+                        if m.get("source_line_in_turn") is not None else None
+                    ),
                     "merge_confidence": m.get("merge_confidence"),
                     "alternative_representations":
                         m.get("alternative_representations"),
@@ -135,7 +144,8 @@ def dedup_entities(entities: DataFrame, kind: str,
                     "conv_id": conv_id, "visit_id": visit_id,
                     "row_kind": "log",
                     **{f: None for f in fields},
-                    "source_pages": None, "merge_confidence": None,
+                    "source_pages": None, "source_line_in_turn": None,
+                    "merge_confidence": None,
                     "alternative_representations": None,
                     "value_conflicts_json": None,
                     "log_action": entry["action"],

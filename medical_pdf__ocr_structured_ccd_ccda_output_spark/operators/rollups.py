@@ -12,17 +12,47 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def document_rollup(turns_with_visits: DataFrame,
-                    include_combined_text: bool = True) -> DataFrame:
+                    include_combined_text: bool = True,
+                    max_text_chars: int | None = None) -> DataFrame:
     """Per-conversation metadata analog of MedicalDocument processing
     fields (structuring_service.py:289-311, main.py:218-239):
     page_count, avg OCR confidence (2-dec), visit count, review stats,
     unclear-marker count, total characters, optional combined text with
-    PAGE banners (structuring_service.py:294-302)."""
+    PAGE banners (structuring_service.py:294-302).
+
+    max_text_chars bounds the PER-GROUP AGGREGATION STATE of the
+    combined-text sink, not just the output string: turns whose
+    cumulative fragment length already reached the cap contribute NULL
+    to collect_list (which skips nulls), so a pathological 10^8-turn
+    conversation holds at most ~max_text_chars + one fragment in the
+    aggregation buffer instead of the whole conversation.  The running
+    sum rides a window partitioned by the same conv_id key as the
+    groupBy — one shuffle total (plan-pinned).  Adds a
+    raw_text_truncated flag.  Default None = reference semantics
+    (unbounded concat, the S7 sink contract)."""
     banner = "=" * 80
     frag = F.format_string(
         "\n%s\nPAGE %d\n%s\n\n%s\n\n",
         F.lit(banner), F.col("turn_idx"), F.lit(banner), F.col("text_clean"),
     )
+    collect_entry = F.struct("turn_idx", frag.alias("frag"))
+    if include_combined_text and max_text_chars is not None:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("conv_id").orderBy("turn_idx")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_before = F.coalesce(F.sum(F.length(frag)).over(w), F.lit(0))
+        # the WHOLE struct goes null past the cap (collect_list skips
+        # null elements, but not structs with a null field); windows
+        # can't live inside an aggregate, so materialize the entry as a
+        # pre-agg column — same conv_id partitioning, no extra exchange
+        turns_with_visits = turns_with_visits.withColumn(
+            "_frag_entry",
+            F.when(cum_before < F.lit(max_text_chars), collect_entry),
+        )
+        collect_entry = F.col("_frag_entry")
     aggs = [
         F.count("*").alias("page_count"),
         F.bround(F.avg("confidence"), 2).alias("ocr_confidence_avg"),
@@ -42,23 +72,29 @@ def document_rollup(turns_with_visits: DataFrame,
         F.sum(F.length("text_clean")).alias("total_characters"),
     ]
     if include_combined_text:
-        aggs.append(
+        joined = F.regexp_replace(
             F.regexp_replace(
-                F.regexp_replace(
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(F.struct("turn_idx", frag.alias("frag")))
-                            ),
-                            lambda s: s["frag"],
-                        ),
-                        "",
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(collect_entry)),
+                        lambda s: s["frag"],
                     ),
-                    r"^\s+", "",
+                    "",
                 ),
-                r"\s+$", "",
-            ).alias("raw_ocr_text")
+                r"^\s+", "",
+            ),
+            r"\s+$", "",
         )
+        if max_text_chars is not None:
+            aggs.append(
+                F.substring(joined, 1, max_text_chars).alias("raw_ocr_text")
+            )
+            aggs.append(
+                (F.sum(F.length(frag)) > F.lit(max_text_chars))
+                .alias("raw_text_truncated")
+            )
+        else:
+            aggs.append(joined.alias("raw_ocr_text"))
     return turns_with_visits.groupBy("conv_id").agg(*aggs)
 
 

@@ -144,15 +144,14 @@ def _md5_planes(dim: int, n_planes: int, table: int) -> list[list[float]]:
 
 
 def lsh_topk_md5(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                 n_planes: int = 6, n_tables: int = 4,
-                 dim: int | None = None) -> DataFrame:
+                 n_planes: int = 6, n_tables: int = 4, *,
+                 dim: int) -> DataFrame:
     """DuckDB-oracle-able twin of lsh_topk: md5-derived +-1 planes and
     JVM sequential-fold projections (bit-identical to an ordered
     list_reduce in the oracle engine), unrounded cosine re-rank.  The
     production path stays lsh_topk (Gaussian planes, one Arrow matmul
-    per batch)."""
-    if dim is None:
-        dim = len(queries.select("query_vec").first()["query_vec"])
+    per batch).  `dim` is required — inferring it would need a driver
+    action (`queries.first()`), which has no place in an operator."""
     tables = [_md5_planes(dim, n_planes, t) for t in range(n_tables)]
 
     def with_sig(df, vec_col):
@@ -189,16 +188,14 @@ def lsh_topk_md5(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-             n_planes: int = 8, n_tables: int = 8, dim: int | None = None,
+             n_planes: int = 8, n_tables: int = 8, *, dim: int,
              seed: int = 42) -> DataFrame:
     """ANN with OR-amplification: L independent hyperplane tables; a
     corpus vector is a candidate if it collides with the query in ANY
     table; exact cosine re-ranks the deduplicated candidates.  Recall
     grows with n_tables (measured against brute_force_topk in tests);
-    the join stays equi on (table, bucket) — no cross product."""
-    if dim is None:
-        dim = len(queries.select("query_vec").first()["query_vec"])
-
+    the join stays equi on (table, bucket) — no cross product.  `dim`
+    is required — inferring it would need a driver action."""
     buckets = lsh_buckets_udf(dim, n_planes, n_tables, seed)
 
     def with_sig(df, vec_col):
@@ -284,9 +281,14 @@ def cosine_near_dups_lsh(embeddings: DataFrame, threshold: float = 0.9,
         .dropDuplicates(["id_a", "id_b"])
     )
     score = cosine(F.col("emb_a"), F.col("emb_b"))
+    # Threshold on the UNROUNDED score (the brute tier filters unrounded;
+    # rounding first would admit pairs in [threshold-5e-7, threshold) and
+    # break the "lsh result is a subset of brute" invariant), then round
+    # for display only.
     return (
-        cand.select("id_a", "id_b", F.round(score, 6).alias("score"))
+        cand.select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
     )
 
 
@@ -337,7 +339,8 @@ def _ivf_assign_udf(C, top: int = 1):
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, centroids,
-             k: int = 5, nprobe: int = 4) -> DataFrame:
+             k: int = 5, nprobe: int = 4,
+             round_to: int | None = 6) -> DataFrame:
     """IVF ANN: corpus vectors live in their nearest centroid cell;
     each query probes its `nprobe` nearest cells; candidates get the
     exact cosine re-rank.  The join is equi on the cell id — shuffle
@@ -373,8 +376,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, centroids,
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
+    out_score = (
+        F.round("score", round_to) if round_to is not None else F.col("score")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+        .select("query_id", "rank", "neighbor_id", out_score.alias("score"))
     )

@@ -53,6 +53,7 @@ class PipelineResult:
     metrics: DataFrame
     lineage: dict[str, DataFrame] = field(default_factory=dict)
     ccd_xml: DataFrame | None = None
+    narrative: DataFrame | None = None
     quarantine: DataFrame | None = None
     vitals: DataFrame | None = None
     allergies: DataFrame | None = None
@@ -114,7 +115,9 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  with_entities: bool = True,
                  with_xml: bool = True,
                  include_raw_text: bool = True,
-                 with_validation: bool = True) -> PipelineResult:
+                 with_validation: bool = True,
+                 with_narrative: bool = False,
+                 max_text_chars: int | None = None) -> PipelineResult:
     quarantine = None
     if with_validation:
         transcripts, quarantine = apply_quarantine(transcripts)
@@ -124,7 +127,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
     else:
         turns = assign_visits(extracted)
 
-    visits = visit_rollup(turns, include_raw_text=include_raw_text)
+    visits = visit_rollup(turns, include_raw_text=include_raw_text,
+                          max_text_chars=max_text_chars)
     # schema-validation warnings stage (raising Pydantic validators ->
     # flagged rows; canonical_schema.py:182-208,286-292)
     import pyspark.sql.functions as _F
@@ -138,7 +142,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         ),
     )
     data_quality = data_quality_rollup(turns)
-    docs = document_rollup(turns, include_combined_text=include_raw_text)
+    docs = document_rollup(turns, include_combined_text=include_raw_text,
+                           max_text_chars=max_text_chars)
     metrics = stage_metrics(turns)
 
     meds = probs = labs = log = vits = alls = plans = None
@@ -174,8 +179,10 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
     }
 
     xml = None
-    if with_xml and include_raw_text:
+    narrative = None
+    if (with_xml and include_raw_text) or with_narrative:
         sections = None
+        nsections = None
         if with_entities:
             import pyspark.sql.functions as F
 
@@ -183,15 +190,20 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
 
             def _first_page(df: DataFrame) -> DataFrame:
                 # deduped entities carry the merged source_pages set;
-                # the render sort key is the first (earliest) page, like
-                # the reference rendering its merged entries in list order
+                # the render sort key is the first (earliest) page plus
+                # the kept record's intra-turn line ordinal, so same-page
+                # entities render in true document/dedup-output order
+                # (not content-lexicographic — round-2 ADVICE fix)
                 return df.withColumn(
                     "source_page", F.element_at("source_pages", 1)
-                ).withColumn("source_line_in_turn", F.lit(0))
+                ).withColumn(
+                    "source_line_in_turn",
+                    F.coalesce(F.col("source_line_in_turn"), F.lit(0)),
+                )
 
             from .operators.entities import extract_visit_texts
 
-            sections = entity_sections(
+            ent_kw = dict(
                 medications=_first_page(meds),
                 problems=_first_page(probs),
                 vitals=vits,
@@ -199,7 +211,18 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                 plan=_first_page(plans),
                 visit_texts=extract_visit_texts(turns),
             )
-        xml = render_ccd_xml(visits, sections=sections)
+            if with_xml and include_raw_text:
+                sections = entity_sections(**ent_kw)
+            if with_narrative:
+                from .renderers.text import narrative_sections
+
+                nsections = narrative_sections(**ent_kw)
+        if with_xml and include_raw_text:
+            xml = render_ccd_xml(visits, sections=sections)
+        if with_narrative:
+            from .renderers.text import render_narrative
+
+            narrative = render_narrative(visits, sections=nsections)
 
     return PipelineResult(
         extracted_turns=turns,
@@ -212,6 +235,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         metrics=metrics,
         lineage=lineage,
         ccd_xml=xml,
+        narrative=narrative,
         quarantine=quarantine,
         vitals=vits,
         allergies=alls,

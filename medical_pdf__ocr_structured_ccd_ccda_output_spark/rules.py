@@ -840,7 +840,10 @@ def merge_simple(records: list[dict], key_field: str, fields: list[str],
         if i in done:
             continue
         base = dict(e1)
-        pages = {e1.get("source_page")}
+        # None pages must not count toward the multi-page merge-confidence
+        # bump below (an entity without a source_page merging with one that
+        # has a page is still a single-page merge).
+        pages = {p for p in (e1.get("source_page"),) if p is not None}
         group = {i}
         for j in range(i + 1, len(records)):
             if j in done:
@@ -856,7 +859,8 @@ def merge_simple(records: list[dict], key_field: str, fields: list[str],
                 alts = base.setdefault("alternative_representations", [])
                 if k2 not in alts:
                     alts.append(k2)
-            pages.add(e2.get("source_page"))
+            if e2.get("source_page") is not None:
+                pages.add(e2.get("source_page"))
             group.add(j)
             log.append({
                 "type": type_name, "action": "merged",
