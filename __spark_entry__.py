@@ -110,6 +110,7 @@ _QUERY_ORDER = [
     # operator.  All remain oracled — tools/check_oracles.py verifies
     # every query below exactly like the driver verifies the first 50.)
     "boundary_flags", "extract_date", "mark_unclear", "parse_names",
+    "media_features_wav",
     "region_revenue", "topk_per_group",
     "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
@@ -1108,6 +1109,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "decode_status",
         )
     q["media_features_docs"] = q_media_features_docs
+
+    def q_media_features_wav(spark, sf):
+        """REAL multimodal decode, DuckDB-oracled: deterministic mono
+        16-bit PCM WAV payloads (multimodal.synthetic_wav_payload —
+        sample_u16[i] = (doc_id*7 + i*13) % 65536, n = 32 + doc_id%32)
+        run through the stdlib RIFF/WAV decoder behind real_decode=True;
+        the uint16-sample histogram has a closed form in doc_id that the
+        oracle reproduces with list comprehensions."""
+        wav_payload = multimodal.wav_payload_udf()
+        d = _read(spark, sf, "documents")
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("audio").alias("media_type"),
+            wav_payload(F.col("doc_id")).alias("payload"),
+        )
+        return multimodal.decode_features(media, real_decode=True).select(
+            "media_id", "media_type", "n_bytes",
+            F.array_join(F.col("hist").cast("array<string>"), ",").alias("hist"),
+            "decode_status",
+        )
+    q["media_features_wav"] = q_media_features_wav
 
     # ---- round-2 operators: vitals/allergies/plan, quarantine, A7/A9 ----
     def q_vitals_extract(spark, sf):
@@ -2908,6 +2930,25 @@ def oracle_sql() -> dict[str, str]:
               CAST(n AS INT) AS n_bytes,
               array_to_string(hist, ',') AS hist,
               'stub' AS decode_status
+            FROM h
+        """,
+        "media_features_wav": """
+            -- closed form of the REAL stdlib WAV decode over
+            -- synthetic_wav_payload(doc_id): n = 32 + doc_id%32 uint16
+            -- samples (doc_id*7 + i*13) % 65536; 44-byte PCM header;
+            -- hist bins over sample % 16 ((x%65536)%16 == x%16)
+            WITH h AS (
+              SELECT doc_id AS media_id,
+                32 + doc_id % 32 AS n,
+                list_transform(range(0, 16), b ->
+                  len(list_filter(range(0, 32 + doc_id % 32),
+                      i -> (doc_id*7 + i*13) % 16 = b))) AS hist
+              FROM documents
+            )
+            SELECT media_id, 'audio' AS media_type,
+              CAST(44 + 2*n AS INT) AS n_bytes,
+              array_to_string(hist, ',') AS hist,
+              'wav' AS decode_status
             FROM h
         """,
         "variant_lookup": """

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(NotImplementedError behind `real_decode=True`, deterministic fake
-features otherwise) — but the Spark-side plumbing is real and tested:
-schema, Arrow batch shape through mapInPandas, partition sizing, and
-the feature contract downstream operators consume.
+The container has no image/audio codec LIBRARIES, so `real_decode=True`
+decodes the one codec parseable with the stdlib alone — RIFF/WAV PCM
+(via `wave` + numpy frombuffer); payloads that aren't WAV report
+decode_status='unsupported_codec' (that slot is where PIL/torchaudio/
+pyav plug in on a real cluster).  The default path emits deterministic
+fake features so the batch shape, schema and partitioning are exercised
+without any codec.  Both paths share the Spark-side plumbing: schema,
+Arrow batch shape through mapInPandas, partition sizing, and the
+feature contract downstream operators consume.
 
 At scale: binary payloads dominate partition size — repartition by
 `pmod(xxhash64(media_id), n)` before the decode pass and set
@@ -15,6 +19,7 @@ fits executor memory alongside the decode workspace.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 MEDIA_SCHEMA = T.StructType([
@@ -55,14 +60,70 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_wav_payload(key: int, rate: int = 8000) -> bytes:
+    """Deterministic mono 16-bit PCM WAV: n = 32 + key%32 samples with
+    sample_u16[i] = (key*7 + i*13) % 65536.  Shared by the oracled
+    contract query and tests — the feature expectation has a closed
+    form in the key, so DuckDB can oracle the REAL decode path."""
+    import io
+    import wave
+
+    n = 32 + key % 32
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(
+            int((key * 7 + i * 13) % 65536).to_bytes(2, "little")
+            for i in range(n)
+        ))
+    return buf.getvalue()
+
+
+def wav_payload_udf():
+    """pandas_udf key -> synthetic WAV bytes (Arrow binary batches)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _wav(key: pd.Series) -> pd.Series:
+        return key.map(lambda k: synthetic_wav_payload(int(k)))
+
+    return _wav
+
+
+def _decode_wav(payload: bytes):
+    """stdlib RIFF/WAV decode -> (samples_u16 ndarray, status)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except Exception:
+        return None, "decode_error"
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<u2")
+    elif width == 1:
+        samples = np.frombuffer(frames, dtype=np.uint8).astype("uint16")
+    else:
+        return None, "decode_error"
+    return samples, "wav"
+
+
 def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """mapInPandas decode/feature-extract pass.
 
-    real_decode=True is the production slot for PIL/libav decoding —
-    NotImplementedError here because the codecs are not in this
-    container.  The default path emits deterministic fake features
-    (byte-histogram projection) so the batch shape, schema and
-    partitioning are exercised end-to-end.
+    real_decode=True runs the stdlib WAV decoder (RIFF magic sniff ->
+    `wave` parse -> uint16 sample histogram); non-WAV payloads get
+    decode_status='unsupported_codec' — the production slot for
+    PIL/torchaudio/pyav on a real cluster.  The default path emits
+    deterministic fake features (byte-histogram projection) so the
+    batch shape, schema and partitioning are exercised end-to-end
+    without any codec.
     """
 
     def batches(it):
@@ -70,11 +131,6 @@ def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
         import pandas as pd
 
         for pdf in it:
-            if real_decode:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "plug PIL/torchaudio/pyav here"
-                )
             feats, hists, nbytes, status = [], [], [], []
             for payload in pdf["payload"]:
                 if payload is None:
@@ -83,7 +139,25 @@ def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
                     nbytes.append(0)
                     status.append("empty")
                     continue
-                arr = np.frombuffer(payload, dtype=np.uint8)
+                raw = bytes(payload)
+                if real_decode:
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                        samples, st = _decode_wav(raw)
+                    else:
+                        samples, st = None, "unsupported_codec"
+                    nbytes.append(len(raw))
+                    status.append(st)
+                    if samples is None:
+                        feats.append(None)
+                        hists.append(None)
+                        continue
+                    hist = np.bincount(samples % _FEATURE_DIM,
+                                       minlength=_FEATURE_DIM)
+                    feats.append(
+                        (hist / max(len(samples), 1)).astype("float32").tolist())
+                    hists.append([int(x) for x in hist])
+                    continue
+                arr = np.frombuffer(raw, dtype=np.uint8)
                 hist = np.bincount(arr % _FEATURE_DIM, minlength=_FEATURE_DIM)
                 denom = max(len(arr), 1)
                 feats.append((hist / denom).astype("float32").tolist())

@@ -12,7 +12,11 @@ unchanged under readStream.  Sessionization has two streaming modes:
   conversation spanning many micro-batches keeps one consistent
   visit numbering — bit-identical to the batch W2 running sum as long
   as turns arrive in turn_idx order across batches (within a batch
-  they are sorted).
+  they are sorted);
+* ``stateful_sessionize_ooo``: the order-tolerant variant — a bounded
+  per-conversation reorder buffer in GroupState emits turns only when
+  the 0-based turn_idx sequence is contiguous, so ANY cross-batch
+  shuffling of arrivals still reproduces batch W2 exactly.
 """
 
 from __future__ import annotations
@@ -125,6 +129,86 @@ def stateful_sessionize(extracted_stream: DataFrame) -> DataFrame:
             update,
             outputStructType=SESSIONIZE_OUTPUT_SCHEMA,
             stateStructType=SESSIONIZE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+OOO_STATE_SCHEMA = T.StructType([
+    T.StructField("started", T.BooleanType(), False),
+    T.StructField("boundary_count", T.IntegerType(), False),
+    T.StructField("next_idx", T.IntegerType(), False),
+    T.StructField("buf_idx", T.ArrayType(T.IntegerType()), True),
+    T.StructField("buf_boundary", T.ArrayType(T.BooleanType()), True),
+])
+
+
+def stateful_sessionize_ooo(extracted_stream: DataFrame,
+                            max_buffer: int = 1024) -> DataFrame:
+    """Out-of-order-tolerant cross-batch visit assignment: like
+    stateful_sessionize, but turns that arrive BEFORE their
+    predecessors are held in per-conversation GroupState and emitted
+    only once the turn_idx sequence is contiguous, so visit numbering
+    is bit-identical to the batch W2 window for ANY cross-batch arrival
+    order (the contiguity contract: per-conversation turn_idx runs
+    0,1,2,... — a transcript's turn index).
+
+    Bounded state: the reorder buffer holds at most ``max_buffer``
+    turns; if a genuine gap (lost turn) would pin it forever, the
+    buffer force-flushes in sorted turn_idx order — degraded ordering
+    for that conversation, never unbounded memory.  Late duplicates of
+    already-emitted turn_idx values are dropped (append-mode
+    exactly-once)."""
+
+    def update(key, pdf_iter, state):
+        (conv_id,) = key
+        if state.exists:
+            started, b, nxt, bidx, bb = state.get
+            buf = dict(zip(bidx or [], bb or []))
+        else:
+            started, b, nxt, buf = False, 0, 0, {}
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks)
+            for i, is_b in zip(batch["turn_idx"], batch["is_boundary"]):
+                if int(i) >= nxt:           # drop late duplicates
+                    buf[int(i)] = bool(is_b)
+        out_idx, out_seq = [], []
+
+        def emit(i, is_b):
+            nonlocal started, b
+            if started and is_b:
+                b += 1
+            out_idx.append(i)
+            out_seq.append(b + 1)
+            started = True
+
+        while nxt in buf:
+            emit(nxt, buf.pop(nxt))
+            nxt += 1
+        if len(buf) > max_buffer:
+            for i in sorted(buf):
+                emit(i, buf.pop(i))
+            nxt = out_idx[-1] + 1
+        if out_idx:
+            yield pd.DataFrame({
+                "conv_id": conv_id,
+                "turn_idx": pd.Series(out_idx, dtype="int32"),
+                "visit_seq": pd.Series(out_seq, dtype="int32"),
+                "visit_id": [f"visit_{s:03d}" for s in out_seq],
+            })
+        pending = sorted(buf)
+        state.update((started, b, nxt, pending,
+                      [buf[i] for i in pending]))
+
+    return (
+        extracted_stream
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSIONIZE_OUTPUT_SCHEMA,
+            stateStructType=OOO_STATE_SCHEMA,
             outputMode="append",
             timeoutConf="NoTimeout",
         )

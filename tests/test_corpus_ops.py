@@ -179,8 +179,44 @@ def test_multimodal_plumbing(spark):
         assert abs(sum(r["feature"]) - 1.0) < 1e-3
     plan = multimodal.frame_sample_plan(media, every_ms=5000)
     assert plan.count() > 0
-    with pytest.raises(Exception):
-        multimodal.decode_features(media, real_decode=True).collect()
+    # real_decode: random-byte payloads are not RIFF -> unsupported slot
+    real = multimodal.decode_features(media, real_decode=True).collect()
+    assert all(r["decode_status"] == "unsupported_codec" for r in real)
+    assert all(r["feature"] is None for r in real)
+
+
+def test_multimodal_real_wav_decode(spark):
+    """real_decode=True genuinely parses RIFF/WAV PCM with the stdlib:
+    the uint16-sample histogram matches a local wave-module oracle, and
+    corrupt RIFF payloads degrade to decode_error."""
+    import io
+    import wave
+
+    import numpy as np
+
+    keys = list(range(12))
+    media = spark.createDataFrame(
+        [(k, k, "audio", multimodal.synthetic_wav_payload(k),
+          (None, None, None, "pcm_s16le")) for k in keys]
+        + [(99, 99, "audio", b"RIFF1234WAVEgarbage",
+            (None, None, None, "pcm_s16le"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in
+            multimodal.decode_features(media, real_decode=True).collect()}
+    for k in keys:
+        payload = multimodal.synthetic_wav_payload(k)
+        with wave.open(io.BytesIO(payload)) as w:
+            frames = w.readframes(w.getnframes())
+        samples = np.frombuffer(frames, dtype="<u2")
+        want = np.bincount(samples % 16, minlength=16)
+        r = rows[k]
+        assert r["decode_status"] == "wav"
+        assert r["n_bytes"] == len(payload) == 44 + 2 * (32 + k % 32)
+        assert list(r["hist"]) == [int(x) for x in want]
+        assert np.allclose(r["feature"], want / len(samples), atol=1e-6)
+    assert rows[99]["decode_status"] == "decode_error"
+    assert rows[99]["hist"] is None
 
 
 def test_ngram_jaccard_banded_tier(spark, docs):

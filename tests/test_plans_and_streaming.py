@@ -207,3 +207,118 @@ def test_text_cap_bounds_state_and_shuffles(spark):
         assert len(row["raw_text"]) <= 60
         assert f_raw.startswith(row["raw_text"])
         assert row["raw_text_truncated"] == (len(f_raw) > 60)
+
+
+def test_stateful_sessionize_out_of_order(spark, tmp_path):
+    """stateful_sessionize_ooo: micro-batches deliver turns SHUFFLED
+    across batch boundaries; the reorder buffer must still reproduce
+    the batch W2 numbering exactly (round-2 VERDICT item 7)."""
+    import time
+
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.dates import (
+        is_visit_boundary_expr,
+    )
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.streaming.stream import (
+        TRANSCRIPT_SCHEMA,
+        stateful_sessionize_ooo,
+    )
+
+    def turn(conv, i, boundary):
+        text = ("Visit Date: 03/15/2024\nexam notes" if boundary
+                else f"follow-up notes line {i}")
+        return (conv, i, "user", text, None, None)
+
+    # c1: 8 turns (0-based, boundaries at 2 and 5), c2: 4 turns
+    # (boundary at 1); arrivals shuffled across three micro-batches —
+    # every batch contains turns whose predecessors are still missing
+    batches = [
+        [turn("c1", 3, False), turn("c1", 0, False), turn("c2", 2, False)],
+        [turn("c1", 5, True), turn("c1", 1, False), turn("c2", 0, False),
+         turn("c1", 2, True)],
+        [turn("c1", 4, False), turn("c1", 7, False), turn("c1", 6, False),
+         turn("c2", 1, True), turn("c2", 3, False)],
+    ]
+    in_dir = tmp_path / "ooo_in"
+    in_dir.mkdir()
+    for rows in batches:
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(in_dir))
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .withColumn("is_boundary", is_visit_boundary_expr(F.col("text")))
+        .select("conv_id", "turn_idx", "is_boundary")
+    )
+    q = (
+        stateful_sessionize_ooo(stream).writeStream.format("memory")
+        .queryName("ooo_out").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ooo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["visit_id"]
+        for r in spark.table("ooo_out").collect()
+    }
+    full = spark.createDataFrame(
+        [t for rows in batches for t in rows], TRANSCRIPT_SCHEMA
+    ).withColumn("is_boundary", is_visit_boundary_expr(F.col("text")))
+    exp = {
+        (r["conv_id"], r["turn_idx"]): r["visit_id"]
+        for r in assign_visits(full).collect()
+    }
+    assert got == exp
+    assert len(got) == 12  # every turn emitted exactly once
+    assert got[("c1", 7)] == "visit_003" and got[("c2", 3)] == "visit_002"
+
+
+def test_stateful_sessionize_ooo_bounded_buffer(spark, tmp_path):
+    """A genuine gap (lost turn) must not pin the reorder buffer:
+    exceeding max_buffer force-flushes in sorted order, and late
+    arrivals below the emitted watermark are dropped (bounded state,
+    append-mode exactly-once)."""
+    import time
+
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.streaming.stream import (
+        stateful_sessionize_ooo,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("is_boundary", T.BooleanType()),
+    ])
+    in_dir = tmp_path / "gap_in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [("c1", 0, False), ("c1", 4, True), ("c1", 5, False)], schema
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    time.sleep(1.1)
+    spark.createDataFrame([("c1", 2, True)], schema).coalesce(1) \
+        .write.mode("append").parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stateful_sessionize_ooo(stream, max_buffer=1)
+        .writeStream.format("memory").queryName("gap_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "gap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["turn_idx"]: r["visit_id"]
+           for r in spark.table("gap_out").collect()}
+    # batch 1: 0 emits (visit_001); buffer {4,5} > max_buffer=1 ->
+    # flush: 4 opens visit_002, 5 stays; batch 2: turn 2 < watermark ->
+    # dropped
+    assert got == {0: "visit_001", 4: "visit_002", 5: "visit_002"}
