@@ -110,7 +110,7 @@ _QUERY_ORDER = [
     # operator.  All remain oracled — tools/check_oracles.py verifies
     # every query below exactly like the driver verifies the first 50.)
     "boundary_flags", "extract_date", "mark_unclear", "parse_names",
-    "media_features_wav",
+    "media_features_wav", "sanitize_names",
     "region_revenue", "topk_per_group",
     "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
@@ -1130,6 +1130,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "decode_status",
         )
     q["media_features_wav"] = q_media_features_wav
+
+    def q_sanitize_names(spark, sf):
+        """F12 base-name sanitize (main.py:53 — Path.stem, spaces ->
+        underscores, parens stripped) over synthesized messy file paths;
+        RE2-safe suffix-strip form shared with the DuckDB oracle."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.cleaning import (
+            sanitize_base_name_expr,
+        )
+
+        d = _read(spark, sf, "documents")
+        path = F.format_string(
+            "/data/in/%s scan (%d).pdf", F.col("source"), F.col("doc_id")
+        )
+        return d.select(
+            "doc_id", path.alias("path"),
+            sanitize_base_name_expr(path).alias("base_name"),
+        )
+    q["sanitize_names"] = q_sanitize_names
 
     # ---- round-2 operators: vitals/allergies/plan, quarantine, A7/A9 ----
     def q_vitals_extract(spark, sf):
@@ -2931,6 +2949,21 @@ def oracle_sql() -> dict[str, str]:
               array_to_string(hist, ',') AS hist,
               'stub' AS decode_status
             FROM h
+        """,
+        "sanitize_names": r"""
+            WITH p AS (
+              SELECT doc_id,
+                '/data/in/' || source || ' scan (' || CAST(doc_id AS VARCHAR)
+                  || ').pdf' AS path
+              FROM documents
+            )
+            SELECT doc_id, path,
+              replace(replace(replace(
+                regexp_replace(
+                  list_extract(string_split(path, '/'), -1),
+                  '(.)\.[^.]*$', '\1'),
+                ' ', '_'), '(', ''), ')', '') AS base_name
+            FROM p
         """,
         "media_features_wav": """
             -- closed form of the REAL stdlib WAV decode over

@@ -106,6 +106,8 @@ def main():
         # round-2 operators
         "vitals_extract", "ingest_quarantine", "problems_merge",
         "ccd_xml_entities", "ngram_jaccard_banded",
+        # round-3 operators
+        "human_doc", "media_features_wav",
     ]:
         df = qs[name](spark, SF_DIR)
         _materialize(df)

@@ -59,3 +59,18 @@ def layout_hints_expr(text: Column) -> Column:
         (text.contains("|") | text.contains("      ")).alias("has_tables"),
         text.contains("[UNCLEAR").alias("has_handwriting"),
     )
+
+
+def sanitize_base_name_expr(path: Column) -> Column:
+    """F12 (main.py:53): input filename -> safe base output name.
+    Path(...).stem semantics (strip directory and the LAST extension;
+    a leading-dot-only name keeps its dot, like pathlib), then
+    spaces -> underscores and parentheses removed."""
+    stem = F.element_at(F.split(path, "/"), -1)
+    # (.)\.[^.]*$ : strip the last suffix only when something precedes
+    # it (Path(".txt").stem == ".txt") — same RE2-safe form the DuckDB
+    # oracle uses
+    stem = F.regexp_replace(stem, r"(.)\.[^.]*$", r"$1")
+    out = F.replace(stem, F.lit(" "), F.lit("_"))
+    out = F.replace(out, F.lit("("), F.lit(""))
+    return F.replace(out, F.lit(")"), F.lit(""))

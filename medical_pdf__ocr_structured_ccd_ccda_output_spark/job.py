@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> None:
                         "collect at pathological conversation sizes)")
     p.add_argument("--no-validation", action="store_true",
                    help="skip the P1 ingest validation / quarantine branch")
+    p.add_argument("--narrative", action="store_true",
+                   help="also write the S9 human-readable narrative "
+                        "document sink (one text document per "
+                        "conversation)")
     p.add_argument("--max-text-chars", type=int, default=10_000_000,
                    help="bound per-conversation/visit combined-text "
                         "aggregation state (chars); 0 disables the cap "
@@ -64,6 +68,7 @@ def main(argv: list[str] | None = None) -> None:
             skew_aware=args.skew_aware,
             include_raw_text=not args.no_raw_text,
             with_validation=not args.no_validation,
+            with_narrative=args.narrative,
             max_text_chars=args.max_text_chars or None,
         )
         mode = "overwrite"
@@ -85,6 +90,8 @@ def main(argv: list[str] | None = None) -> None:
             tio.write_table(res.data_quality, args.output, f"data_quality{suffix}", mode)
         if res.ccd_xml is not None:
             tio.write_table(res.ccd_xml, args.output, f"ccd_xml{suffix}", mode)
+        if res.narrative is not None:
+            tio.write_table(res.narrative, args.output, f"narrative{suffix}", mode)
         tio.write_table(res.metrics, args.output, f"metrics{suffix}", mode)
         for stage, ldf in res.lineage.items():
             tio.write_table(ldf, args.output, f"lineage_{stage}{suffix}", mode)

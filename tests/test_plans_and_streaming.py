@@ -162,6 +162,9 @@ def test_round2_plan_pins(spark, sf_dir):
         "lab_conflicts": 1,
         "data_quality": 1,
         "ccd_xml_entities": 2,
+        # S9 narrative shares the fused one-groupBy section agg: one
+        # section exchange + one per-conversation exchange
+        "human_doc": 2,
     }
     for name, budget in budgets.items():
         n = shuffle_exchange_count(qs[name](spark, sf_dir))
