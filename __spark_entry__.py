@@ -1648,9 +1648,9 @@ WITH feats AS (
     (length(text) - length(translate(text, 'lI1O0', ''))) AS ambiguous,
     length(translate(text, ' ' || chr(10), '')) AS total,
     (length(text) - length(replace(text, chr(10), ''))) AS newlines,
-    len(list_filter(regexp_split_to_array(text, '\\s+'),
+    len(list_filter(regexp_split_to_array(text, '[\\s\\x1c-\\x1f\\x85\\p{{Z}}]+'),
         w -> len(w) >= 2 AND len(w) <= 5
-             AND regexp_matches(w, '^[^a-z]*[A-Z][^a-z]*$'))) AS abbrevs,
+             AND regexp_matches(w, '^[^\\p{{Ll}}\\p{{Lt}}]*\\p{{Lu}}[^\\p{{Ll}}\\p{{Lt}}]*$'))) AS abbrevs,
     (contains(lower({text}), 'blocked') OR contains(lower({text}), 'safety filter')) AS blocked,
     contains({text}, '[UNCLEAR') AS has_unclear
   FROM {src}

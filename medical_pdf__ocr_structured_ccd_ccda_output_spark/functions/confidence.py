@@ -40,13 +40,20 @@ def confidence_expr(text: Column, rounded: bool = True) -> Column:
 
     newlines = F.length(text) - F.length(F.replace(text, F.lit("\n"), F.lit("")))
 
-    # Python str.split() + isupper() analog: whitespace tokens of length
-    # 2-5 with >=1 uppercase letter and no lowercase letters.
+    # Python str.split() + isupper() analog, in the regex dialect Java
+    # and DuckDB's RE2 share (the oracle SQL uses the same two patterns
+    # verbatim).  Split class = ASCII \s + \x1c-\x1f + \x85 + \p{Z}
+    # separators == Python str.split() whitespace.  isupper() = at least
+    # one \p{Lu} and no \p{Ll}/\p{Lt} cased chars — 'O:P"ñ' is NOT an
+    # abbreviation (ñ is cased lowercase); an earlier ASCII-only [^a-z]
+    # class let it through, caught by tests/test_property_parity.py.
+    # (Residual divergence from Python isupper(): Other_Uppercase /
+    # Other_Lowercase chars like circled letters — outside the corpus.)
     abbrevs = F.size(
         F.filter(
-            F.split(text, r"\s+"),
+            F.split(text, r"[\s\x1c-\x1f\x85\p{Z}]+"),
             lambda w: (F.length(w) >= 2) & (F.length(w) <= 5)
-            & w.rlike(r"^[^a-z]*[A-Z][^a-z]*$"),
+            & w.rlike(r"^[^\p{Ll}\p{Lt}]*\p{Lu}[^\p{Ll}\p{Lt}]*$"),
         )
     )
 
