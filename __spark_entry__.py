@@ -2773,7 +2773,7 @@ def oracle_sql() -> dict[str, str]:
             ), a AS (
               SELECT conv_id, COUNT(*) AS n_turns,
                 CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-                COUNT(CASE WHEN length(trim(text)) > 0 THEN 1 END) AS n_nonempty,
+                COUNT(CASE WHEN regexp_matches(text, '\S') THEN 1 END) AS n_nonempty,
                 MAX(contains(text, '[ENCRYPTED]')) AS has_enc
               FROM t GROUP BY conv_id
             ), w AS (
@@ -2961,7 +2961,7 @@ def oracle_sql() -> dict[str, str]:
               replace(replace(replace(
                 regexp_replace(
                   list_extract(string_split(path, '/'), -1),
-                  '(.)\.[^.]*$', '\1'),
+                  '(.)\.[^.]+$', '\1'),
                 ' ', '_'), '(', ''), ')', '') AS base_name
             FROM p
         """,
@@ -3037,8 +3037,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parse_names": r"""
             WITH p AS (
-              SELECT c_custkey, c_name, trim(c_name) AS t,
-                regexp_split_to_array(trim(c_name), '\s+') AS parts
+              -- full-whitespace strip (not trim(), which is space-only)
+              -- to match Python str.strip().split() semantics
+              SELECT c_custkey, c_name,
+                regexp_replace(c_name, '^\s+|\s+$', '', 'g') AS t,
+                regexp_split_to_array(
+                  regexp_replace(c_name, '^\s+|\s+$', '', 'g'), '\s+') AS parts
               FROM customer
             )
             SELECT c_custkey,

@@ -67,10 +67,11 @@ def sanitize_base_name_expr(path: Column) -> Column:
     a leading-dot-only name keeps its dot, like pathlib), then
     spaces -> underscores and parentheses removed."""
     stem = F.element_at(F.split(path, "/"), -1)
-    # (.)\.[^.]*$ : strip the last suffix only when something precedes
-    # it (Path(".txt").stem == ".txt") — same RE2-safe form the DuckDB
-    # oracle uses
-    stem = F.regexp_replace(stem, r"(.)\.[^.]*$", r"$1")
+    # (.)\.[^.]+$ : strip the last suffix only when something precedes
+    # the dot (Path('.txt').stem == '.txt') AND at least one char
+    # follows it (Path('a.').stem == 'a.' — pathlib treats a trailing
+    # dot as no suffix) — same RE2-safe form the DuckDB oracle uses
+    stem = F.regexp_replace(stem, r"(.)\.[^.]+$", r"$1")
     out = F.replace(stem, F.lit(" "), F.lit("_"))
     out = F.replace(out, F.lit("("), F.lit(""))
     return F.replace(out, F.lit(")"), F.lit(""))

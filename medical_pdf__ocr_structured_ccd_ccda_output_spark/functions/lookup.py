@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from .. import rules
+from .cleaning import strip_ws
 
 # ---------------------------------------------------------------------------
 # F3: Ratcliff-Obershelp similarity as a vectorized pair scorer
@@ -61,10 +62,16 @@ def similarity_udf():
 
 def parse_name_expr(full_name: Column) -> Column:
     """struct(given, family): last whitespace token is the family name,
-    everything before it the given name; single token -> family only."""
-    parts = F.split(F.trim(full_name), r"\s+")
+    everything before it the given name; single token -> family only.
+
+    Strip must cover ALL whitespace (strip_ws), not F.trim: trim removes
+    only spaces, so a tab/newline-padded name would leave empty tokens
+    at the split boundaries and yield family='' where Python
+    str.strip().split() yields the real last token."""
+    stripped = strip_ws(full_name)
+    parts = F.split(stripped, r"\s+")
     n = F.size(parts)
-    empty = F.trim(full_name) == ""  # .split() of whitespace-only -> [] branch
+    empty = stripped == ""  # .split() of whitespace-only -> [] branch
     given = F.when(~empty & (n >= 2), F.array_join(F.slice(parts, 1, n - 1), " ")
                    ).otherwise(F.lit(""))
     family = F.when(empty, full_name).otherwise(F.element_at(parts, -1))

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.cleaning import strip_ws
+
 # name then optional dose (number+unit) then the rest as frequency/route
 _MED_LINE = r"^\s*(?:\d+[.)]\s*)?([A-Za-z][A-Za-z \-]*?)\s+(\d+(?:\.\d+)?\s*(?:mg|mcg|g|ml|units?))\b\s*(.*)$"
 _PROBLEM_SECTIONS = ("PAST MEDICAL HISTORY", "ASSESSMENT", "IMPRESSION")
@@ -155,7 +157,9 @@ def extract_allergies(turns: DataFrame) -> DataFrame:
     """ALLERGIES section lines -> substance strings (bullets stripped,
     no-allergy markers dropped — rules.ALLERGY_NEGATIONS)."""
     lines = _section_lines(turns, ("ALLERGIES",))
-    substance = F.trim(F.regexp_replace(F.col("line"), _BULLET, ""))
+    # strip_ws, not F.trim: rules.parse_allergy_line strips ALL
+    # whitespace (tabs, \r from CRLF payloads), trim only spaces
+    substance = strip_ws(F.regexp_replace(F.col("line"), _BULLET, ""))
     norm = F.trim(F.regexp_replace(F.lower(substance), r"\s+", " "))
     return (
         lines.select(
@@ -185,7 +189,8 @@ def extract_plan_items(turns: DataFrame) -> DataFrame:
     """PLAN section lines -> PlanItem rows with the ordered-keyword
     category (rules.PLAN_CATEGORY_RULES; enums.py PlanCategory)."""
     lines = _section_lines(turns, ("PLAN",))
-    action = F.trim(F.regexp_replace(F.col("line"), _BULLET, ""))
+    # strip_ws matches rules.parse_plan_line's .strip() (see allergies)
+    action = strip_ws(F.regexp_replace(F.col("line"), _BULLET, ""))
     return (
         lines.select(
             "conv_id", "visit_id",

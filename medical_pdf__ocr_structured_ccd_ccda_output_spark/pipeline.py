@@ -75,7 +75,10 @@ def conversation_quality(transcripts: DataFrame) -> DataFrame:
     agg = transcripts.groupBy("conv_id").agg(
         F.count("*").alias("n_turns"),
         F.sum(F.length(txt)).cast("long").alias("total_chars"),
-        F.count(F.when(F.length(F.trim(txt)) > 0, 1)).alias("n_nonempty"),
+        # "non-empty" = has non-whitespace content, consistent with
+        # clean_text's .strip()-based empty check (a tab-only page must
+        # not count as a real page); \s+ regex, not space-only F.trim
+        F.count(F.when(txt.rlike(r"\S"), 1)).alias("n_nonempty"),
         F.max(txt.contains(rules.ENCRYPTED_MARKER)).alias("_has_encrypted"),
     )
     warnings = F.array_compact(F.array(

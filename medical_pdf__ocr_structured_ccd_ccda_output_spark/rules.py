@@ -317,7 +317,11 @@ def extract_date(text: str) -> str | None:
             d = datetime.strptime(f"{year}-{month}-{day}", "%Y-%m-%d")
         except ValueError:
             continue
-        return d.strftime("%Y-%m-%d")
+        # Explicit zero-padded ISO instead of strftime('%Y-%m-%d'):
+        # glibc leaves years < 1000 unpadded ('500-01-02') while Spark
+        # date_format('yyyy') and DuckDB strftime('%Y') pad — the spec
+        # is the platform-independent 4-digit form all engines share.
+        return f"{d.year:04d}-{d.month:02d}-{d.day:02d}"
     return None
 
 
