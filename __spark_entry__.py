@@ -63,6 +63,7 @@ from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.sections import
 )
 from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators import (
     corpus,
+    graph,
     multimodal,
     similarity,
 )
@@ -108,7 +109,12 @@ _QUERY_ORDER = [
     # queries; mark_unclear/parse_names are single-expression queries
     # exercised inside scored queries; the TPC-H showcases map to no §2
     # operator.  All remain oracled — tools/check_oracles.py verifies
-    # every query below exactly like the driver verifies the first 50.)
+    # every query below exactly like the driver verifies the first 50.
+    # near_dup_clusters is NOT redundant — it is the round-3 transitive-
+    # closure clustering op; it sits here because evicting any scored
+    # query would weaken a §2 citation, and its recursive-CTE oracle is
+    # verified by the local replica.)
+    "near_dup_clusters",
     "boundary_flags", "extract_date", "mark_unclear", "parse_names",
     "media_features_wav", "sanitize_names",
     "region_revenue", "topk_per_group",
@@ -367,6 +373,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents"), shingle_n=3, threshold=0.8, round_to=None
         )
     q["ngram_jaccard"] = q_ngram_jaccard
+
+    def q_near_dup_clusters(spark, sf):
+        docs = _read(spark, sf, "documents")
+        pairs = corpus.ngram_jaccard_pairs(
+            docs, shingle_n=3, threshold=0.8, round_to=None
+        )
+        return graph.near_dup_clusters(docs, pairs)
+    q["near_dup_clusters"] = q_near_dup_clusters
 
     def q_quality(spark, sf):
         return corpus.quality_scores(_read(spark, sf, "documents"), round_to=None)
@@ -1846,6 +1860,31 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
     / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8
 """
 
+# transitive closure of the ngram-Jaccard pair graph via a recursive
+# CTE (min reachable doc_id == the component-minimum cluster id the
+# Spark side computes with hash-min label propagation), then canonical
+# survivor selection: longest text wins, ties to the smallest doc_id.
+_NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_NGRAM_JACCARD_SQL})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id
+), comp AS (
+  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+)
+SELECT c.doc_id, c.cluster_id,
+  count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+  (row_number() OVER (PARTITION BY c.cluster_id
+     ORDER BY length(d.text) DESC, c.doc_id ASC) = 1) AS keep
+FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+"""
+
 _ANN_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
@@ -3128,6 +3167,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
         "quality_scores": _QUALITY_SQL,
         "language_id": _langid_sql(),
         "token_counts": f"""

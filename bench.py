@@ -107,7 +107,7 @@ def main():
         "vitals_extract", "ingest_quarantine", "problems_merge",
         "ccd_xml_entities", "ngram_jaccard_banded",
         # round-3 operators
-        "human_doc", "media_features_wav",
+        "human_doc", "media_features_wav", "near_dup_clusters",
     ]:
         df = qs[name](spark, SF_DIR)
         _materialize(df)

@@ -284,3 +284,92 @@ def test_ivf_topk_recall(spark, emb):
     full = similarity.ivf_topk(emb, queries, C, k=5, nprobe=16).collect()
     full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
     assert full_set == exact_set  # probing every cell == brute force
+
+
+# ---------------------------------------------------------------------------
+# connected-components near-dup clustering (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def _uf_components(n_ids, edges):
+    """Union-find oracle: id -> component-minimum id."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a not in parent or b not in parent:
+            continue  # vertices table is authoritative (operator semantics)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps = {}
+    for v in n_ids:
+        comps.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comps.values() for v in members}
+
+
+def test_connected_components_random_graphs(spark):
+    import random
+
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(20260817)
+    cases = []
+    for _ in range(4):
+        n = rng.choice([3, 25, 120])
+        ids = list(range(n))
+        m = rng.randint(0, n)
+        cases.append((ids, [(rng.choice(ids), rng.choice(ids)) for _ in range(m)]))
+    # adversarial: a 50-node chain (max diameter — exercises pointer jumping)
+    cases.append((list(range(50)), [(i, i + 1) for i in range(49)]))
+    # edges referencing unknown vertices are ignored
+    cases.append(([0, 1, 2], [(1, 2), (2, 99)]))
+
+    for ids, edges in cases:
+        want = _uf_components(ids, edges)
+        vs = spark.createDataFrame([(i,) for i in ids], "id long")
+        es = spark.createDataFrame(edges, "src long, dst long") if edges else (
+            spark.createDataFrame([], "src long, dst long")
+        )
+        got = {r["id"]: r["label"] for r in connected_components(vs, es).collect()}
+        assert got == want
+
+
+def test_near_dup_clusters_contract(spark, docs):
+    """Cluster ids are the transitive closure of the pair graph; keep
+    picks exactly one longest-text survivor per cluster."""
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.graph import (
+        near_dup_clusters,
+    )
+
+    pairs = corpus.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.8,
+                                       round_to=None)
+    # max_iter=4 pins convergence speed: near-dup components are tiny
+    # (size <= 3 here), so hash-min + pointer jumping must fix in <= 4
+    # rounds — a regression guard on the O(log diameter) property
+    out = near_dup_clusters(docs, pairs, max_iter=4).collect()
+    assert len(out) == docs.count()
+
+    edge_rows = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want = _uf_components(ids, edge_rows)
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == want
+
+    # exactly one survivor per cluster; it is the longest text (ties -> min id)
+    lens = {r["doc_id"]: len(r["text"]) for r in docs.select("doc_id", "text").collect()}
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert all(r["cluster_size"] == len(members) for r in members)
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1
+        best = min(members, key=lambda r: (-lens[r["doc_id"]], r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
