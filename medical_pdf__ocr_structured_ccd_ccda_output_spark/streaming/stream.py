@@ -145,7 +145,8 @@ OOO_STATE_SCHEMA = T.StructType([
 
 
 def stateful_sessionize_ooo(extracted_stream: DataFrame,
-                            max_buffer: int = 1024) -> DataFrame:
+                            max_buffer: int = 1024,
+                            flush_after_ms: int = 60_000) -> DataFrame:
     """Out-of-order-tolerant cross-batch visit assignment: like
     stateful_sessionize, but turns that arrive BEFORE their
     predecessors are held in per-conversation GroupState and emitted
@@ -154,15 +155,24 @@ def stateful_sessionize_ooo(extracted_stream: DataFrame,
     order (the contiguity contract: per-conversation turn_idx runs
     0,1,2,... — a transcript's turn index).
 
-    Bounded state: the reorder buffer holds at most ``max_buffer``
-    turns; if a genuine gap (lost turn) would pin it forever, the
-    buffer force-flushes in sorted turn_idx order — degraded ordering
-    for that conversation, never unbounded memory.  Late duplicates of
-    already-emitted turn_idx values are dropped (append-mode
-    exactly-once)."""
+    Bounded state AND bounded delay: the reorder buffer force-flushes
+    in sorted turn_idx order when either
+    * it exceeds ``max_buffer`` turns (memory bound), or
+    * a processing-time timeout of ``flush_after_ms`` elapses with
+      turns still buffered (delay bound — a genuinely LOST turn with
+      few successors would otherwise withhold the rest of its
+      conversation forever, since no size trigger ever fires).
+    A force-flush degrades ordering for that conversation only; after
+    it, the emit watermark jumps to the highest flushed turn_idx, and
+    late arrivals below the watermark are dropped (append-mode
+    exactly-once).  Corollary: a corrupt out-of-range turn_idx in a
+    flushed set raises the watermark past legitimate turns — guard
+    turn_idx sanity upstream (the P1 ingest-validation stage), as the
+    batch pipeline does."""
 
     def update(key, pdf_iter, state):
         (conv_id,) = key
+        timed_out = bool(state.hasTimedOut)
         if state.exists:
             started, b, nxt, bidx, bb = state.get
             buf = dict(zip(bidx or [], bb or []))
@@ -187,7 +197,7 @@ def stateful_sessionize_ooo(extracted_stream: DataFrame,
         while nxt in buf:
             emit(nxt, buf.pop(nxt))
             nxt += 1
-        if len(buf) > max_buffer:
+        if len(buf) > max_buffer or (timed_out and buf):
             for i in sorted(buf):
                 emit(i, buf.pop(i))
             nxt = out_idx[-1] + 1
@@ -201,6 +211,10 @@ def stateful_sessionize_ooo(extracted_stream: DataFrame,
         pending = sorted(buf)
         state.update((started, b, nxt, pending,
                       [buf[i] for i in pending]))
+        if pending:
+            # wake this group to force-flush even if no further data
+            # ever arrives for it
+            state.setTimeoutDuration(flush_after_ms)
 
     return (
         extracted_stream
@@ -210,6 +224,6 @@ def stateful_sessionize_ooo(extracted_stream: DataFrame,
             outputStructType=SESSIONIZE_OUTPUT_SCHEMA,
             stateStructType=OOO_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf="NoTimeout",
+            timeoutConf="ProcessingTimeTimeout",
         )
     )

@@ -325,3 +325,66 @@ def test_stateful_sessionize_ooo_bounded_buffer(spark, tmp_path):
     # flush: 4 opens visit_002, 5 stays; batch 2: turn 2 < watermark ->
     # dropped
     assert got == {0: "visit_001", 4: "visit_002", 5: "visit_002"}
+
+
+def test_stateful_sessionize_ooo_timeout_flush(spark, tmp_path):
+    """A LOST turn with fewer than max_buffer successors must not
+    withhold its conversation forever: the processing-time timeout
+    force-flushes the reorder buffer (under NoTimeout semantics this
+    stream would emit zero rows for c1, since the buffer never exceeds
+    max_buffer).  After the flush, arrivals below the watermark are
+    dropped (append-mode exactly-once)."""
+    import time
+
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.streaming.stream import (
+        stateful_sessionize_ooo,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("is_boundary", T.BooleanType()),
+    ])
+    in_dir = tmp_path / "lost_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "lost_ckpt")
+    out_dir = str(tmp_path / "lost_out")
+
+    def run():
+        # parquet sink, not memory: the memory sink cannot recover from
+        # a checkpoint, and run 2 below restarts the query
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        q = (
+            stateful_sessionize_ooo(stream, max_buffer=100,
+                                    flush_after_ms=1_000)
+            .writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    def read_out():
+        return {(r["conv_id"], r["turn_idx"]): r["visit_id"]
+                for r in spark.read.parquet(out_dir).collect()}
+
+    # turn 0 of c1 was lost in transit; 1 and 2 arrive and are buffered
+    # (buffer size 2 << max_buffer=100, so no size trigger can fire —
+    # only the timeout can emit them).  availableNow runs a wake-up
+    # batch once the 1s timeout expires, flushing the buffer in sorted
+    # order: turn 1 starts visit_001, boundary turn 2 -> visit_002.
+    spark.createDataFrame(
+        [("c1", 1, False), ("c1", 2, True)], schema
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run()
+    assert read_out() == {("c1", 1): "visit_001", ("c1", 2): "visit_002"}
+
+    # run 2 (same checkpoint): the lost turn finally arrives, but it is
+    # below the post-flush watermark -> dropped, not re-sequenced
+    time.sleep(1.2)
+    spark.createDataFrame(
+        [("c1", 0, False), ("c2", 0, False)], schema
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run()
+    assert read_out() == {("c1", 1): "visit_001", ("c1", 2): "visit_002",
+                          ("c2", 0): "visit_001"}
