@@ -89,9 +89,24 @@ def document_rollup(turns_with_visits: DataFrame,
             aggs.append(
                 F.substring(joined, 1, max_text_chars).alias("raw_ocr_text")
             )
+            # exact length of the FULL (uncapped, stripped) text without
+            # materializing it: every frag starts "\n" + banner (leading
+            # ws run of the concat is exactly 1) and contains non-ws
+            # banners (the trailing ws run of the concat is the last
+            # frag's own trailing run), so
+            #   len(strip(concat(all frags)))
+            #     = sum(len(frag)) - 1 - trail_ws_run(last frag).
+            # Flagging on sum(len(frag)) alone over-reports near the
+            # cap: the strip can shave up to a few chars, so a text
+            # whose stripped length is exactly <= cap would be marked
+            # truncated.
+            trail_run = F.length(F.regexp_extract(frag, r"(\s*)$", 1))
+            full_len = (
+                F.sum(F.length(frag)) - F.lit(1)
+                - F.max_by(trail_run, F.col("turn_idx"))
+            )
             aggs.append(
-                (F.sum(F.length(frag)) > F.lit(max_text_chars))
-                .alias("raw_text_truncated")
+                (full_len > F.lit(max_text_chars)).alias("raw_text_truncated")
             )
         else:
             aggs.append(joined.alias("raw_ocr_text"))

@@ -141,43 +141,26 @@ OOO_STATE_SCHEMA = T.StructType([
     T.StructField("next_idx", T.IntegerType(), False),
     T.StructField("buf_idx", T.ArrayType(T.IntegerType()), True),
     T.StructField("buf_boundary", T.ArrayType(T.BooleanType()), True),
+    # processing time (ms) when the current non-empty buffer streak
+    # began; null while the buffer is empty
+    T.StructField("buffered_since_ms", T.LongType(), True),
 ])
 
 
-def stateful_sessionize_ooo(extracted_stream: DataFrame,
-                            max_buffer: int = 1024,
-                            flush_after_ms: int = 60_000) -> DataFrame:
-    """Out-of-order-tolerant cross-batch visit assignment: like
-    stateful_sessionize, but turns that arrive BEFORE their
-    predecessors are held in per-conversation GroupState and emitted
-    only once the turn_idx sequence is contiguous, so visit numbering
-    is bit-identical to the batch W2 window for ANY cross-batch arrival
-    order (the contiguity contract: per-conversation turn_idx runs
-    0,1,2,... — a transcript's turn index).
-
-    Bounded state AND bounded delay: the reorder buffer force-flushes
-    in sorted turn_idx order when either
-    * it exceeds ``max_buffer`` turns (memory bound), or
-    * a processing-time timeout of ``flush_after_ms`` elapses with
-      turns still buffered (delay bound — a genuinely LOST turn with
-      few successors would otherwise withhold the rest of its
-      conversation forever, since no size trigger ever fires).
-    A force-flush degrades ordering for that conversation only; after
-    it, the emit watermark jumps to the highest flushed turn_idx, and
-    late arrivals below the watermark are dropped (append-mode
-    exactly-once).  Corollary: a corrupt out-of-range turn_idx in a
-    flushed set raises the watermark past legitimate turns — guard
-    turn_idx sanity upstream (the P1 ingest-validation stage), as the
-    batch pipeline does."""
+def _make_ooo_update(max_buffer: int, flush_after_ms: int):
+    """Build the applyInPandasWithState update fn for
+    stateful_sessionize_ooo (module-level so the deadline arithmetic is
+    unit-testable against a fake GroupState with a controlled clock)."""
 
     def update(key, pdf_iter, state):
         (conv_id,) = key
+        now = state.getCurrentProcessingTimeMs()
         timed_out = bool(state.hasTimedOut)
         if state.exists:
-            started, b, nxt, bidx, bb = state.get
+            started, b, nxt, bidx, bb, since = state.get
             buf = dict(zip(bidx or [], bb or []))
         else:
-            started, b, nxt, buf = False, 0, 0, {}
+            started, b, nxt, buf, since = False, 0, 0, {}, None
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         if chunks:
             batch = pd.concat(chunks)
@@ -197,7 +180,11 @@ def stateful_sessionize_ooo(extracted_stream: DataFrame,
         while nxt in buf:
             emit(nxt, buf.pop(nxt))
             nxt += 1
-        if len(buf) > max_buffer or (timed_out and buf):
+        # the delay bound is checked inline too: a group that receives
+        # data every micro-batch never times out, but its streak still
+        # ages past the deadline
+        overdue = since is not None and now - since >= flush_after_ms
+        if len(buf) > max_buffer or ((timed_out or overdue) and buf):
             for i in sorted(buf):
                 emit(i, buf.pop(i))
             nxt = out_idx[-1] + 1
@@ -209,18 +196,56 @@ def stateful_sessionize_ooo(extracted_stream: DataFrame,
                 "visit_id": [f"visit_{s:03d}" for s in out_seq],
             })
         pending = sorted(buf)
+        since = (now if since is None else since) if pending else None
         state.update((started, b, nxt, pending,
-                      [buf[i] for i in pending]))
+                      [buf[i] for i in pending], since))
         if pending:
             # wake this group to force-flush even if no further data
-            # ever arrives for it
-            state.setTimeoutDuration(flush_after_ms)
+            # ever arrives for it; re-arm with the REMAINING time so
+            # repeated data invocations (which clear the timeout)
+            # cannot push the deadline back
+            state.setTimeoutDuration(max(1, flush_after_ms - (now - since)))
+
+    return update
+
+
+def stateful_sessionize_ooo(extracted_stream: DataFrame,
+                            max_buffer: int = 1024,
+                            flush_after_ms: int = 60_000) -> DataFrame:
+    """Out-of-order-tolerant cross-batch visit assignment: like
+    stateful_sessionize, but turns that arrive BEFORE their
+    predecessors are held in per-conversation GroupState and emitted
+    only once the turn_idx sequence is contiguous, so visit numbering
+    is bit-identical to the batch W2 window for ANY cross-batch arrival
+    order (the contiguity contract: per-conversation turn_idx runs
+    0,1,2,... — a transcript's turn index).
+
+    Bounded state AND bounded delay: the reorder buffer force-flushes
+    in sorted turn_idx order when either
+    * it exceeds ``max_buffer`` turns (memory bound), or
+    * the oldest continuously-buffered streak ages past
+      ``flush_after_ms`` of processing time (delay bound — a genuinely
+      LOST turn with few successors would otherwise withhold the rest
+      of its conversation forever, since no size trigger ever fires).
+      The streak start is persisted in state and the GroupState timeout
+      is re-armed with the REMAINING time each invocation, so sustained
+      arrivals for the group cannot postpone the flush indefinitely
+      (GroupState clears its timeout on every data invocation); the
+      deadline is also checked inline on data batches, covering groups
+      that receive data every batch and therefore never time out.
+    A force-flush degrades ordering for that conversation only; after
+    it, the emit watermark jumps to the highest flushed turn_idx, and
+    late arrivals below the watermark are dropped (append-mode
+    exactly-once).  Corollary: a corrupt out-of-range turn_idx in a
+    flushed set raises the watermark past legitimate turns — guard
+    turn_idx sanity upstream (the P1 ingest-validation stage), as the
+    batch pipeline does."""
 
     return (
         extracted_stream
         .groupBy("conv_id")
         .applyInPandasWithState(
-            update,
+            _make_ooo_update(max_buffer, flush_after_ms),
             outputStructType=SESSIONIZE_OUTPUT_SCHEMA,
             stateStructType=OOO_STATE_SCHEMA,
             outputMode="append",

@@ -199,6 +199,16 @@ def test_text_cap_bounds_state_and_shuffles(spark):
         assert f_raw.startswith(row["raw_ocr_text"])
         assert row["raw_text_truncated"] == (len(f_raw) > 50)
 
+    # exact boundary: a cap equal to the full stripped length must NOT
+    # flag (the flag is computed from fragment lengths, which overcount
+    # the stripped text by a few chars — regression for the round-3
+    # review finding)
+    conv0, flen = next((c, len(r["raw_ocr_text"])) for c, r in full.items())
+    for cap, want in ((flen, False), (flen - 1, True)):
+        at_cap = {r["conv_id"]: r
+                  for r in document_rollup(turns, max_text_chars=cap).collect()}
+        assert at_cap[conv0]["raw_text_truncated"] == want, (conv0, cap)
+
     vcapped = visit_rollup(turns, max_text_chars=60)
     # window on (conv_id, visit_id) is satisfied by the conv_id hash
     # partitioning (subset clustering) -> still no extra exchange
@@ -325,6 +335,65 @@ def test_stateful_sessionize_ooo_bounded_buffer(spark, tmp_path):
     # flush: 4 opens visit_002, 5 stays; batch 2: turn 2 < watermark ->
     # dropped
     assert got == {0: "visit_001", 4: "visit_002", 5: "visit_002"}
+
+
+def test_ooo_deadline_survives_sustained_arrivals():
+    """A group that receives data every micro-batch never reaches the
+    GroupState timeout (each data invocation clears it), so the delay
+    bound must hold via (a) the inline overdue check and (b) re-arming
+    the timeout with the REMAINING time, not the full duration.  Drives
+    the update fn directly with a fake GroupState and a controlled
+    clock — deterministic, no wall-clock sleeps (round-3 review fix)."""
+    import pandas as pd
+
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.streaming.stream import (
+        _make_ooo_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self.hasTimedOut = False, False
+            self._tuple, self.now, self.armed = None, 0, None
+
+        @property
+        def get(self):
+            return self._tuple
+
+        def getCurrentProcessingTimeMs(self):
+            return self.now
+
+        def update(self, t):
+            self._tuple, self.exists = t, True
+
+        def setTimeoutDuration(self, ms):
+            self.armed = ms
+
+    update = _make_ooo_update(max_buffer=100, flush_after_ms=1_000)
+
+    def feed(state, now, rows, timed_out=False):
+        state.now, state.hasTimedOut, state.armed = now, timed_out, None
+        pdf = pd.DataFrame(rows, columns=["turn_idx", "is_boundary"])
+        out = list(update(("c1",), [pdf] if rows else [], state))
+        return list(out[0]["turn_idx"]) if out else []
+
+    st = FakeState()
+    # t=0: turns 2,3 arrive (0 lost) -> buffered, full timeout armed
+    assert feed(st, 0, [(2, False), (3, True)]) == []
+    assert st.armed == 1_000 and st._tuple[5] == 0
+    # t=800: turn 5 arrives -> still buffered; streak start is kept and
+    # the timeout is re-armed with the REMAINING 200ms, not 1000
+    assert feed(st, 800, [(5, False)]) == []
+    assert st.armed == 200 and st._tuple[5] == 0
+    # t=1100: turn 7 arrives; deadline passed -> inline force-flush of
+    # the whole buffer in sorted order, even though hasTimedOut=False
+    assert feed(st, 1100, [(7, False)]) == [2, 3, 5, 7]
+    assert st.armed is None and st._tuple[5] is None  # streak reset
+    # post-flush watermark: late turn 4 is dropped; turn 8 is contiguous
+    assert feed(st, 1200, [(4, False), (8, False)]) == [8]
+    # pure-timeout path (no data): buffered turn force-flushes
+    assert feed(st, 1300, [(10, True)]) == []
+    assert st.armed == 1_000  # fresh streak -> full duration
+    assert feed(st, 2400, [], timed_out=True) == [10]
 
 
 def test_stateful_sessionize_ooo_timeout_flush(spark, tmp_path):
