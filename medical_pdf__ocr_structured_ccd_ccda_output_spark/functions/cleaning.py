@@ -19,9 +19,20 @@ from pyspark.sql import functions as F
 from .. import rules
 
 
+# Java regex class equal to Python's str whitespace set (str.isspace():
+# ASCII \s + file/group/record/unit separators + NEL + all Unicode Z*).
+# Same class as functions/confidence.py's word splitter — callers of
+# strip_ws mirror Python .strip()/.split(), which are unicode-aware, so
+# plain \s (ASCII-only in Java) under-strips NBSP/EN-SPACE inputs.
+PY_WS = r"[\s\x1c-\x1f\x85\p{Z}]"
+PY_NONWS = r"[^\s\x1c-\x1f\x85\p{Z}]"
+
+
 def strip_ws(col: Column) -> Column:
-    """Python str.strip() analog (ASCII whitespace both ends)."""
-    return F.regexp_replace(F.regexp_replace(col, r"^\s+", ""), r"\s+$", "")
+    """Python str.strip() analog (full unicode whitespace, both ends)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, f"^{PY_WS}+", ""), f"{PY_WS}+$", ""
+    )
 
 
 def clean_text_expr(text: Column) -> Column:

@@ -67,9 +67,13 @@ def parse_name_expr(full_name: Column) -> Column:
     Strip must cover ALL whitespace (strip_ws), not F.trim: trim removes
     only spaces, so a tab/newline-padded name would leave empty tokens
     at the split boundaries and yield family='' where Python
-    str.strip().split() yields the real last token."""
+    str.strip().split() yields the real last token.  The split uses the
+    same unicode class: .split() breaks on NBSP/EN-SPACE too, so plain
+    \\s (ASCII in Java) would glue 'John\\xa0Smith' into one token."""
+    from .cleaning import PY_WS
+
     stripped = strip_ws(full_name)
-    parts = F.split(stripped, r"\s+")
+    parts = F.split(stripped, f"{PY_WS}+")
     n = F.size(parts)
     empty = stripped == ""  # .split() of whitespace-only -> [] branch
     given = F.when(~empty & (n >= 2), F.array_join(F.slice(parts, 1, n - 1), " ")

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.cleaning import PY_WS
+
 
 def conversation_lines(turns_with_visits: DataFrame) -> DataFrame:
     """(conv_id, line_no, line): document-order line numbering across the
@@ -74,10 +76,12 @@ def enrich_excerpts(entities: DataFrame, lines: DataFrame,
     pos0 = hit_pos - 1
     start0 = F.greatest(F.lit(0), pos0 - 10)
     end0 = F.least(F.length("l.line"), start0 + 60)
+    # PY_WS, not \s: the reference strips with Python .strip(), which is
+    # unicode-aware (NBSP/NEL/Z*); Java \s is ASCII-only
     excerpt = F.regexp_replace(
         F.regexp_replace(F.col("l.line").substr(start0 + 1, end0 - start0),
-                         r"^\s+", ""),
-        r"\s+$", "",
+                         f"^{PY_WS}+", ""),
+        f"{PY_WS}+$", "",
     ).substr(1, 60)
 
     first = F.min(

@@ -70,6 +70,7 @@ def conversation_quality(transcripts: DataFrame) -> DataFrame:
     import pyspark.sql.functions as F
 
     from . import rules
+    from .functions.cleaning import PY_NONWS as _PY_NONWS
 
     txt = F.coalesce(F.col("text"), F.lit(""))
     agg = transcripts.groupBy("conv_id").agg(
@@ -77,8 +78,9 @@ def conversation_quality(transcripts: DataFrame) -> DataFrame:
         F.sum(F.length(txt)).cast("long").alias("total_chars"),
         # "non-empty" = has non-whitespace content, consistent with
         # clean_text's .strip()-based empty check (a tab-only page must
-        # not count as a real page); \s+ regex, not space-only F.trim
-        F.count(F.when(txt.rlike(r"\S"), 1)).alias("n_nonempty"),
+        # not count as a real page); PY_NONWS, not \S — Python .strip()
+        # treats NBSP etc. as whitespace, Java \S does not
+        F.count(F.when(txt.rlike(_PY_NONWS), 1)).alias("n_nonempty"),
         F.max(txt.contains(rules.ENCRYPTED_MARKER)).alias("_has_encrypted"),
     )
     warnings = F.array_compact(F.array(

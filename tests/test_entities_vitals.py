@@ -172,6 +172,9 @@ def test_conversation_quarantine(spark):
         ("ok", 2, "more text"),
         ("empty", 1, "   "),
         ("empty", 2, ""),
+        # NBSP/NEL-only page: Python .strip() removes these, Java \S
+        # would not -> must quarantine as no_pages (PY_NONWS class)
+        ("uws", 1, "\xa0 \x85"),
         ("enc", 1, "prefix [ENCRYPTED] body"),
     ]
     rows += [("long", i, "x") for i in range(1, rules.MAX_TURNS_PER_CONV + 2)]
@@ -185,12 +188,13 @@ def test_conversation_quarantine(spark):
         assert list(r["warnings"]) == want, cid
     assert not got["ok"]["quarantined"]
     assert got["empty"]["warnings"] == ["no_pages"]
+    assert got["uws"]["warnings"] == ["no_pages"]
     assert got["enc"]["warnings"] == ["encrypted"]
     assert got["long"]["warnings"] == ["too_many_pages"]
 
     clean, quar = pipeline.apply_quarantine(tr)
     assert {r["conv_id"] for r in clean.select("conv_id").distinct().collect()} == {"ok"}
-    assert quar.count() == 3
+    assert quar.count() == 4
 
 
 def test_entity_section_xml_golden(spark):

@@ -165,7 +165,11 @@ def test_rule_surface_parity_on_generated_text(docs):
 # Spark job per example.
 # ---------------------------------------------------------------------------
 
-_NAMES = st.text(alphabet=string.ascii_letters + " .,'-\t\n", max_size=24)
+# \xa0/ /\x85/\x1c: Python str.strip()/.split() treat these as
+# whitespace; the Spark exprs must too (PY_WS class, round-3 fix)
+_NAMES = st.text(
+    alphabet=string.ascii_letters + " .,'-\t\n\xa0 \x85\x1c", max_size=24
+)
 _GUESS = st.one_of(
     st.none(), st.sampled_from(["", "  ", "metformin", "x"]),
     st.text(alphabet=string.ascii_letters + " ", max_size=10),
@@ -372,7 +376,7 @@ def test_entity_extraction_parity_on_generated_text(docs):
 # ---------------------------------------------------------------------------
 
 _EXCERPT_LINE = st.text(
-    alphabet=string.ascii_letters + string.digits + " .,:|[]()-",
+    alphabet=string.ascii_letters + string.digits + " .,:|[]()-\xa0 ",
     max_size=90,
 )
 
