@@ -864,12 +864,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_mark_unclear(spark, sf):
         """F9 unclear marking (variant_preservation.py:170-185) driven by
         the F1 confidence score; guess = first whitespace token."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.cleaning import (
+            PY_WS,
+            strip_ws,
+        )
         from medical_pdf__ocr_structured_ccd_ccda_output_spark.functions.lookup import (
             mark_unclear_expr,
         )
         d = _read(spark, sf, "documents")
         conf = confidence_expr(F.col("text"), rounded=False)
-        guess = F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
+        # Python .split()[0] semantics: unicode strip + PY_WS split
+        guess = F.element_at(F.split(strip_ws(F.col("text")), f"{PY_WS}+"), 1)
         return d.select(
             "doc_id", mark_unclear_expr(guess, conf).alias("marked")
         )
@@ -1621,7 +1626,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_BOILER_RE_SQL = rules.BOILERPLATE_COMBINED.replace("'", "''")
+# engine_portable: \s/\S in the Python-spec patterns become the
+# explicit Python-whitespace class, identical in Java and RE2 — the
+# Spark side ships the SAME translated pattern (cleaning/sections.py)
+_BOILER_RE_SQL = rules.engine_portable(
+    rules.BOILERPLATE_COMBINED).replace("'", "''")
 _BOUNDARY_RE_SQL = rules.VISIT_BOUNDARY_PATTERN.replace("'", "''")
 
 def _confidence_sql(src: str = "documents", keys: str = "doc_id",
@@ -1662,7 +1671,7 @@ WITH feats AS (
     (length(text) - length(translate(text, 'lI1O0', ''))) AS ambiguous,
     length(translate(text, ' ' || chr(10), '')) AS total,
     (length(text) - length(replace(text, chr(10), ''))) AS newlines,
-    len(list_filter(regexp_split_to_array(text, '[\\s\\x1c-\\x1f\\x85\\p{{Z}}]+'),
+    len(list_filter(regexp_split_to_array(text, '[\\s\\x0b\\x1c-\\x1f\\x85\\p{{Z}}]+'),
         w -> len(w) >= 2 AND len(w) <= 5
              AND regexp_matches(w, '^[^\\p{{Ll}}\\p{{Lt}}]*\\p{{Lu}}[^\\p{{Ll}}\\p{{Lt}}]*$'))) AS abbrevs,
     (contains(lower({text}), 'blocked') OR contains(lower({text}), 'safety filter')) AS blocked,
@@ -1704,7 +1713,9 @@ WITH kept AS (
       list_transform(
         list_filter(string_split({text}, chr(10)),
                     l -> NOT regexp_matches(l, '{_BOILER_RE_SQL}')),
-        l -> regexp_replace(l, '\\s+$', '', 'g')),
+        -- line-end trim: Python-re \\s semantics (unicode + \\x0b, which
+        -- RE2's \\s lacks) — same class as the Spark side's PY_WS
+        l -> regexp_replace(l, '[\\s\\x0b\\x1c-\\x1f\\x85\\p{{Z}}]+$', '', 'g')),
       chr(10)), '') AS joined
   FROM {src}
 ), collapsed AS (
@@ -1717,7 +1728,7 @@ WITH kept AS (
   FROM kept
 )
 SELECT {keys},
-  CASE WHEN NOT regexp_matches(stripped, '\\S')
+  CASE WHEN NOT regexp_matches(stripped, '[^\\s\\x0b\\x1c-\\x1f\\x85\\p{{Z}}]')
        THEN '{rules.EMPTY_EXTRACTION_MARKER.replace("'", "''")}'
        ELSE stripped END AS {out}
 FROM collapsed
@@ -1767,7 +1778,7 @@ def _section_match_sql(line_expr: str) -> str:
     """CASE expression mirroring functions/sections.section_name_expr."""
     whens = []
     for name, pat in rules.SECTION_RULES:
-        p = pat.replace("'", "''")
+        p = rules.engine_portable(pat).replace("'", "''")
         whens.append(f"WHEN regexp_matches({line_expr}, '{p}') THEN '{name}'")
     return "CASE " + " ".join(whens) + " END"
 
@@ -1784,13 +1795,13 @@ _STOPWORDS_SQL = "[" + ", ".join(f"'{s}'" for s in corpus.STOPWORDS) + "]"
 _QUALITY_SQL = f"""
 WITH t AS (
   SELECT doc_id, text,
-    regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words,
+    regexp_split_to_array(trim(regexp_replace(lower(text), '[\\s\\x0b]+', ' ', 'g')), ' ') AS words,
     length(text) AS n_chars
   FROM documents
 ), f AS (
   SELECT doc_id, n_chars, len(words) AS n_words,
     len(list_filter(words, w -> list_contains({_STOPWORDS_SQL}, w))) AS n_stop,
-    n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+    n_chars - length(regexp_replace(text, '[^\\w\\s\\x0b]', '', 'g')) AS n_punct,
     CASE WHEN len(words) > 0
          THEN CAST(list_reduce(list_transform(words, w -> len(w)), (a,b) -> a+b) AS DOUBLE) / len(words)
          ELSE 0.0 END AS mean_wlen
@@ -1821,7 +1832,7 @@ def _langid_sql() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id,
-    regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+    regexp_split_to_array(trim(regexp_replace(lower(text), '[\\s\\x0b]+', ' ', 'g')), ' ') AS words
   FROM documents
 ), s AS (
   SELECT doc_id, list_max({arr}) AS best FROM t
@@ -1843,7 +1854,7 @@ WITH sh AS (
            ELSE [array_to_string(words, ' ')] END)) AS shingles
   FROM (
     SELECT doc_id,
-      regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+      regexp_split_to_array(trim(regexp_replace(lower(text), '[\\s\\x0b]+', ' ', 'g')), ' ') AS words
     FROM documents
   )
 ), keyed AS (
@@ -2274,7 +2285,7 @@ GROUP BY source
 _WORDS_CTE = r"""
 words AS (
   SELECT doc_id,
-    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+    regexp_split_to_array(trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')), ' ') AS words
   FROM documents
 )"""
 
@@ -2442,7 +2453,8 @@ SELECT conv_id, visit_id,
   CASE WHEN COUNT(DISTINCT source_page) > 1 THEN CAST(0.95 AS DOUBLE) END AS merge_confidence,
   COUNT(*) AS occurrences
 FROM ent
-GROUP BY conv_id, visit_id, trim(regexp_replace(lower(name), '\s+', ' ', 'g'))
+GROUP BY conv_id, visit_id,
+  trim(regexp_replace(lower(name), '[\s\x0b\x1c-\x1f\x85\p{Z}]+', ' ', 'g'))
 """
 
 
@@ -2799,7 +2811,7 @@ def oracle_sql() -> dict[str, str]:
               'referral', CAST(7 AS INT) FROM d
             UNION ALL SELECT conv_id, 'plan', 'zz', 'other', CAST(8 AS INT) FROM d
         """,
-        "ingest_quarantine": """
+        "ingest_quarantine": r"""
             WITH t AS (
               SELECT source AS conv_id,
                 CASE WHEN doc_id % 89 = 0 THEN ''
@@ -2812,7 +2824,10 @@ def oracle_sql() -> dict[str, str]:
             ), a AS (
               SELECT conv_id, COUNT(*) AS n_turns,
                 CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-                COUNT(CASE WHEN regexp_matches(text, '\S') THEN 1 END) AS n_nonempty,
+                -- PY_NONWS class, not \S: the Spark side counts Python-
+                -- strip() non-emptiness (RE2 \S wrongly counts a page of
+                -- NBSP/VT/NEL as non-empty)
+                COUNT(CASE WHEN regexp_matches(text, '[^\s\x0b\x1c-\x1f\x85\p{Z}]') THEN 1 END) AS n_nonempty,
                 MAX(contains(text, '[ENCRYPTED]')) AS has_enc
               FROM t GROUP BY conv_id
             ), w AS (
@@ -2895,7 +2910,7 @@ def oracle_sql() -> dict[str, str]:
         "numbered_tokens": r"""
             SELECT doc_id, CAST(i AS INT) AS token_no,
                    printf('%4d| %s', i, toks[i]) AS numbered
-            FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+            FROM (SELECT doc_id, regexp_split_to_array(text, '[\s\x0b]+') AS toks
                   FROM documents),
                  LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
         """,
@@ -3078,10 +3093,17 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS (
               -- full-whitespace strip (not trim(), which is space-only)
               -- to match Python str.strip().split() semantics
+              -- PY_WS class (unicode + \x0b): Python .strip()/.split()
+              -- whitespace; RE2 \s misses \x0b/NBSP/NEL/Z*
               SELECT c_custkey, c_name,
-                regexp_replace(c_name, '^\s+|\s+$', '', 'g') AS t,
+                regexp_replace(c_name,
+                  '^[\s\x0b\x1c-\x1f\x85\p{Z}]+|[\s\x0b\x1c-\x1f\x85\p{Z}]+$',
+                  '', 'g') AS t,
                 regexp_split_to_array(
-                  regexp_replace(c_name, '^\s+|\s+$', '', 'g'), '\s+') AS parts
+                  regexp_replace(c_name,
+                    '^[\s\x0b\x1c-\x1f\x85\p{Z}]+|[\s\x0b\x1c-\x1f\x85\p{Z}]+$',
+                    '', 'g'),
+                  '[\s\x0b\x1c-\x1f\x85\p{Z}]+') AS parts
               FROM customer
             )
             SELECT c_custkey,
@@ -3106,7 +3128,11 @@ def oracle_sql() -> dict[str, str]:
             WITH conf AS ({_confidence_sql()}),
             g AS (
               SELECT doc_id,
-                (regexp_split_to_array(trim(text), '\s+'))[1] AS guess
+                (regexp_split_to_array(
+                  regexp_replace(text,
+                    '^[\s\x0b\x1c-\x1f\x85\p{{Z}}]+|[\s\x0b\x1c-\x1f\x85\p{{Z}}]+$',
+                    '', 'g'),
+                  '[\s\x0b\x1c-\x1f\x85\p{{Z}}]+'))[1] AS guess
               FROM documents
             )
             SELECT c.doc_id,
@@ -3146,7 +3172,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_date": _DATE_SQL,
         "normalize": """
             SELECT doc_id,
-              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm
+              trim(regexp_replace(lower(text), '[\\s\\x0b]+', ' ', 'g')) AS text_norm
             FROM documents
         """,
         "section_headers": _SECTIONS_SQL,
@@ -3161,7 +3187,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "exact_dedup": """
-            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
+            SELECT md5(trim(regexp_replace(lower(text), '[\\s\\x0b]+', ' ', 'g'))) AS content_key,
                    MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS dup_count
             FROM documents GROUP BY 1
@@ -3173,7 +3199,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": f"""
             SELECT doc_id,
               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS ws_tokens,
+                   ELSE len(regexp_split_to_array(trim(text), '[\\s\\x0b]+')) END AS INT) AS ws_tokens,
               CAST(len(regexp_extract_all(text, '{tok_re}')) AS INT) AS bpe_tokens
             FROM documents
         """,

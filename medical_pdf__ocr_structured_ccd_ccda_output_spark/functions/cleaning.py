@@ -5,9 +5,9 @@ Implemented with higher-order array functions — whole-stage-codegen'd,
 zero Python in the hot path.  A pandas-UDF variant is provided for
 comparison/benchmarking only.
 
-Note on regex dialects: all patterns in rules.py are written in the
-Java/Python common subset; `\\s` differs on non-ASCII whitespace, which
-the transcript payload domain (ASCII whitespace only) does not hit.
+Note on regex dialects: where rules.py uses Python `\\s` (unicode-aware
+on str patterns), the Spark expressions use the PY_WS class below —
+Java `\\s` is ASCII-only and would diverge on NBSP/NEL/Z* whitespace.
 """
 
 from __future__ import annotations
@@ -19,13 +19,14 @@ from pyspark.sql import functions as F
 from .. import rules
 
 
-# Java regex class equal to Python's str whitespace set (str.isspace():
-# ASCII \s + file/group/record/unit separators + NEL + all Unicode Z*).
-# Same class as functions/confidence.py's word splitter — callers of
-# strip_ws mirror Python .strip()/.split(), which are unicode-aware, so
-# plain \s (ASCII-only in Java) under-strips NBSP/EN-SPACE inputs.
-PY_WS = r"[\s\x1c-\x1f\x85\p{Z}]"
-PY_NONWS = r"[^\s\x1c-\x1f\x85\p{Z}]"
+# Java/RE2 class equal to Python's str whitespace set (str.isspace():
+# ASCII \s + \x0b-explicit for RE2 + file/group/record/unit separators
+# + NEL + all Unicode Z*).  Single source: rules.py, next to the
+# dialect-export note.  Callers of strip_ws mirror Python
+# .strip()/.split(), which are unicode-aware, so plain \s (ASCII-only
+# in Java) under-strips NBSP/EN-SPACE inputs.
+PY_WS = rules.PY_WS_PORTABLE
+PY_NONWS = rules.PY_NONWS_PORTABLE
 
 
 def strip_ws(col: Column) -> Column:
@@ -37,8 +38,15 @@ def strip_ws(col: Column) -> Column:
 
 def clean_text_expr(text: Column) -> Column:
     lines = F.split(text, "\n")
-    kept = F.filter(lines, lambda l: ~l.rlike(rules.BOILERPLATE_COMBINED))
-    trimmed = F.transform(kept, lambda l: F.regexp_replace(l, r"\s+$", ""))
+    # engine_portable: the boilerplate spec's \s/\S are Python-unicode;
+    # a '\xa0===' ruler line must still be dropped under Java regex
+    kept = F.filter(
+        lines,
+        lambda l: ~l.rlike(rules.engine_portable(rules.BOILERPLATE_COMBINED)),
+    )
+    # PY_WS, not \s: rules.clean_text trims with Python re (unicode-
+    # aware), so an NBSP-padded line end must strip here too
+    trimmed = F.transform(kept, lambda l: F.regexp_replace(l, f"{PY_WS}+$", ""))
     joined = F.array_join(trimmed, "\n")
     collapsed = F.regexp_replace(joined, r"\n{3,}", "\n\n")
     stripped = F.regexp_replace(
@@ -46,7 +54,7 @@ def clean_text_expr(text: Column) -> Column:
     )
     return (
         F.when(text.isNull(), F.lit(rules.EMPTY_EXTRACTION_MARKER))
-        .when(~stripped.rlike(r"\S"), F.lit(rules.EMPTY_EXTRACTION_MARKER))
+        .when(~stripped.rlike(PY_NONWS), F.lit(rules.EMPTY_EXTRACTION_MARKER))
         .otherwise(stripped)
     )
 

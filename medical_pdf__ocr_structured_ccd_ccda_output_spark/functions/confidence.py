@@ -11,6 +11,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .. import rules
+from .cleaning import PY_WS
 
 
 def _count_substring(text: Column, needle: str) -> Column:
@@ -42,8 +43,9 @@ def confidence_expr(text: Column, rounded: bool = True) -> Column:
 
     # Python str.split() + isupper() analog, in the regex dialect Java
     # and DuckDB's RE2 share (the oracle SQL uses the same two patterns
-    # verbatim).  Split class = ASCII \s + \x1c-\x1f + \x85 + \p{Z}
-    # separators == Python str.split() whitespace.  isupper() = at least
+    # verbatim).  Split class = cleaning.PY_WS (ASCII \s + \x0b-explicit
+    # for RE2 + \x1c-\x1f + \x85 + \p{Z}) == Python str.split()
+    # whitespace.  isupper() = at least
     # one \p{Lu} and no \p{Ll}/\p{Lt} cased chars — 'O:P"ñ' is NOT an
     # abbreviation (ñ is cased lowercase); an earlier ASCII-only [^a-z]
     # class let it through, caught by tests/test_property_parity.py.
@@ -51,7 +53,7 @@ def confidence_expr(text: Column, rounded: bool = True) -> Column:
     # Other_Lowercase chars like circled letters — outside the corpus.)
     abbrevs = F.size(
         F.filter(
-            F.split(text, r"[\s\x1c-\x1f\x85\p{Z}]+"),
+            F.split(text, f"{PY_WS}+"),
             lambda w: (F.length(w) >= 2) & (F.length(w) <= 5)
             & w.rlike(r"^[^\p{Ll}\p{Lt}]*\p{Lu}[^\p{Ll}\p{Lt}]*$"),
         )

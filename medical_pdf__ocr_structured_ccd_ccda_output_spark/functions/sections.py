@@ -34,7 +34,11 @@ def _prefilter_pattern() -> str:
     for raw, _ in rules.EXTRA_SECTION_HEADERS:
         names.add(re.escape(raw))
     alts = "|".join(sorted(names, key=len, reverse=True))
-    return r"(?i)^\s*(?:" + alts + r")\s*:?\s*$|(?i)^\s*(?:" + alts + r")\s*:"
+    # engine_portable: the rules spec's \s is Python-unicode (a header
+    # line indented with NBSP must still match under Java regex)
+    return rules.engine_portable(
+        r"(?i)^\s*(?:" + alts + r")\s*:?\s*$|(?i)^\s*(?:" + alts + r")\s*:"
+    )
 
 
 SECTION_PREFILTER = _prefilter_pattern()
@@ -45,7 +49,7 @@ def section_name_expr(line: Column) -> Column:
     order), guarded by the prefilter."""
     expr = None
     for name, pat in rules.SECTION_RULES:
-        cond = line.rlike(pat)
+        cond = line.rlike(rules.engine_portable(pat))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return F.when(line.rlike(SECTION_PREFILTER), expr)
 

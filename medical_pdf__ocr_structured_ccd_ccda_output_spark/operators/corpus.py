@@ -52,13 +52,17 @@ def word_shingles_udf(n: int = 3):
 
     from pyspark.sql.functions import pandas_udf
 
-    ws = _re.compile(r"\s+")
+    # Java-\s ASCII class + space-only strip: mirrors norm_text's
+    # F.regexp_replace(\s)+F.trim EXACTLY.  Python re \s / str.strip()
+    # are unicode-aware and would diverge from the expression tier (and
+    # the [\s\x0b] DuckDB oracle) on NBSP/NEL/Z* whitespace.
+    ws = _re.compile("[ \t\n\x0b\f\r]+")
 
     @pandas_udf("array<string>")
     def _shingles(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            words = ws.sub(" ", (t or "").lower()).strip().split(" ")
+            words = ws.sub(" ", (t or "").lower()).strip(" ").split(" ")
             if len(words) - (n - 1) > 0:
                 grams = [" ".join(words[i:i + n])
                          for i in range(len(words) - n + 1)]
@@ -464,7 +468,9 @@ def language_id(documents: DataFrame) -> DataFrame:
 # 7. token counting
 # ---------------------------------------------------------------------------
 
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# \x0b listed explicitly: the DuckDB oracle interpolates this pattern
+# verbatim and RE2's \s lacks vertical tab (Java's includes it)
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x0b]"
 
 
 def token_counts(documents: DataFrame) -> DataFrame:

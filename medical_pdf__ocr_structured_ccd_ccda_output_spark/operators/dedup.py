@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 
+from ..functions.cleaning import PY_WS
 from pyspark.sql import DataFrame, functions as F
 
 from .. import rules
@@ -203,7 +204,9 @@ def exact_dedup_sql(entities: DataFrame, kind: str) -> DataFrame:
     """
     spec = _KIND_SPEC[kind]
     key, fields = spec["key"], spec["fields"]
-    norm = F.trim(F.regexp_replace(F.lower(F.col(key)), r"\s+", " "))
+    # PY_WS: rules.normalize_term collapses PYTHON-unicode whitespace
+    # (after the collapse only plain spaces remain, so F.trim == .strip())
+    norm = F.trim(F.regexp_replace(F.lower(F.col(key)), f"{PY_WS}+", " "))
     order_keys = [c for c in ("source_page", "source_line_in_turn")
                   if c in entities.columns]
     ordered_struct = F.struct(*order_keys, *[F.col(f) for f in fields])

@@ -14,12 +14,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.cleaning import strip_ws
+from .. import rules
+from ..functions.cleaning import PY_WS, strip_ws
 
 # name then optional dose (number+unit) then the rest as frequency/route
-_MED_LINE = r"^\s*(?:\d+[.)]\s*)?([A-Za-z][A-Za-z \-]*?)\s+(\d+(?:\.\d+)?\s*(?:mg|mcg|g|ml|units?))\b\s*(.*)$"
+# (engine_portable: \s means Python-unicode whitespace in every grammar
+# of this module — an NBSP-indented med line must still parse)
+_MED_LINE = rules.engine_portable(
+    r"^\s*(?:\d+[.)]\s*)?([A-Za-z][A-Za-z \-]*?)\s+(\d+(?:\.\d+)?\s*(?:mg|mcg|g|ml|units?))\b\s*(.*)$"
+)
 _PROBLEM_SECTIONS = ("PAST MEDICAL HISTORY", "ASSESSMENT", "IMPRESSION")
-_LAB_LINE = r"^\s*([A-Za-z][A-Za-z0-9 ]*?)\s*\|\s*([^|]+?)\s*\|\s*([^|]+?)\s*(?:\|\s*([^|]*?)\s*)?$"
+_LAB_LINE = rules.engine_portable(
+    r"^\s*([A-Za-z][A-Za-z0-9 ]*?)\s*\|\s*([^|]+?)\s*\|\s*([^|]+?)\s*(?:\|\s*([^|]*?)\s*)?$"
+)
 
 
 def _section_lines(turns: DataFrame, section_names: tuple[str, ...]) -> DataFrame:
@@ -47,7 +54,7 @@ def extract_medications(turns: DataFrame) -> DataFrame:
         .select(
             "conv_id", "visit_id",
             F.trim(m(1)).alias("name"),
-            F.regexp_replace(m(2), r"\s+", "").alias("dose"),
+            F.regexp_replace(m(2), f"{PY_WS}+", "").alias("dose"),
             F.nullif(F.trim(m(3)), F.lit("")).alias("frequency"),
             F.lit(None).cast("string").alias("route"),
             F.col("turn_idx").alias("source_page"),
@@ -58,9 +65,11 @@ def extract_medications(turns: DataFrame) -> DataFrame:
 
 def extract_problems(turns: DataFrame) -> DataFrame:
     lines = _section_lines(turns, _PROBLEM_SECTIONS)
-    cleaned = F.regexp_replace(F.col("line"), r"^\s*[-*•]\s*", "")
+    cleaned = F.regexp_replace(
+        F.col("line"), rules.engine_portable(r"^\s*[-*•]\s*"), ""
+    )
     return (
-        lines.filter(F.col("line").rlike(r"^\s*[-*•]\s*\S"))
+        lines.filter(F.col("line").rlike(rules.engine_portable(r"^\s*[-*•]\s*\S")))
         .select(
             "conv_id", "visit_id",
             F.trim(cleaned).alias("problem"),
@@ -96,15 +105,13 @@ def extract_lab_results(turns: DataFrame) -> DataFrame:
 # grammar defined in rules.py §13, shared with the pytest oracle)
 # ---------------------------------------------------------------------------
 
-from .. import rules  # noqa: E402  (late import keeps the header tidy)
-
-_BULLET = rules.BULLET_PREFIX_PATTERN
+_BULLET = rules.engine_portable(rules.BULLET_PREFIX_PATTERN)
 
 
 def _canonical_vital_expr(label):
     """Normalized-label -> canonical vital key (exact-equality when-chain
     over rules.VITAL_LABEL_MAP)."""
-    norm = F.trim(F.regexp_replace(F.lower(label), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(label), f"{PY_WS}+", " "))
     expr = F.lit(None).cast("string")
     for key, canonical in reversed(rules.VITAL_LABEL_MAP):
         expr = F.when(norm == key, F.lit(canonical)).otherwise(expr)
@@ -116,9 +123,10 @@ def extract_vitals(turns: DataFrame) -> DataFrame:
     BloodPressure range validation flag (40-300 / 20-200,
     canonical_schema.py:75-76).  Pure JVM regex."""
     lines = _section_lines(turns, ("VITAL SIGNS",))
-    g = lambda i: F.regexp_extract(F.col("line"), rules.VITAL_LINE_PATTERN, i)  # noqa: E731
+    vital_pat = rules.engine_portable(rules.VITAL_LINE_PATTERN)
+    g = lambda i: F.regexp_extract(F.col("line"), vital_pat, i)  # noqa: E731
     parsed = (
-        lines.filter(F.col("line").rlike(rules.VITAL_LINE_PATTERN))
+        lines.filter(F.col("line").rlike(vital_pat))
         .select(
             "conv_id", "visit_id",
             _canonical_vital_expr(g(1)).alias("vital_name"),
@@ -160,7 +168,7 @@ def extract_allergies(turns: DataFrame) -> DataFrame:
     # strip_ws, not F.trim: rules.parse_allergy_line strips ALL
     # whitespace (tabs, \r from CRLF payloads), trim only spaces
     substance = strip_ws(F.regexp_replace(F.col("line"), _BULLET, ""))
-    norm = F.trim(F.regexp_replace(F.lower(substance), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(substance), f"{PY_WS}+", " "))
     return (
         lines.select(
             "conv_id", "visit_id",

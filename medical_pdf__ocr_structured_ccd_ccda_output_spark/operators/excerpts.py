@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.cleaning import PY_WS
+from ..functions.cleaning import strip_ws
 
 
 def conversation_lines(turns_with_visits: DataFrame) -> DataFrame:
@@ -76,12 +76,10 @@ def enrich_excerpts(entities: DataFrame, lines: DataFrame,
     pos0 = hit_pos - 1
     start0 = F.greatest(F.lit(0), pos0 - 10)
     end0 = F.least(F.length("l.line"), start0 + 60)
-    # PY_WS, not \s: the reference strips with Python .strip(), which is
-    # unicode-aware (NBSP/NEL/Z*); Java \s is ASCII-only
-    excerpt = F.regexp_replace(
-        F.regexp_replace(F.col("l.line").substr(start0 + 1, end0 - start0),
-                         f"^{PY_WS}+", ""),
-        f"{PY_WS}+$", "",
+    # strip_ws, not \s-trim: the reference strips with Python .strip(),
+    # which is unicode-aware (NBSP/NEL/Z*); Java \s is ASCII-only
+    excerpt = strip_ws(
+        F.col("l.line").substr(start0 + 1, end0 - start0)
     ).substr(1, 60)
 
     first = F.min(

@@ -10,6 +10,73 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.cleaning import PY_WS, strip_ws
+
+
+def capped_ordered_concat(df: DataFrame, part_cols: list[str],
+                          frag, max_chars: int | None,
+                          strip: bool = False,
+                          order_col: str = "turn_idx"):
+    """Shared bounded-state ordered-concat machinery for the combined-
+    text sinks (document_rollup / sessionize.visit_rollup — one
+    implementation, round-3 review fix).
+
+    Returns ``(df, text_col, truncated_col)`` where ``text_col`` is an
+    aggregate expression (use inside the caller's groupBy over exactly
+    ``part_cols``) and ``truncated_col`` is None when ``max_chars`` is.
+
+    When ``max_chars`` is set, the PER-GROUP AGGREGATION STATE is
+    bounded, not just the output string: a running-length window over
+    ``part_cols`` (the same keys as the caller's groupBy — no extra
+    exchange) nulls the WHOLE collect struct for past-cap rows
+    (collect_list skips null elements, but not structs with a null
+    field), so a pathological 10^8-turn group buffers ~max_chars + one
+    fragment.  The truncated flag compares the cap against the exact
+    length of the FULL (uncapped) text, computed without materializing
+    it; with ``strip=True`` that is
+        len(strip(concat)) = sum(len(frag)) - 1 - trail_ws_run(last)
+    which requires the caller's frag to start with exactly ONE
+    whitespace char followed by non-whitespace (both banner formats do:
+    '\\n' + banner / '\\n' + '---') — flagging on the raw sum alone
+    would over-report near the cap by the chars the strip shaves.
+
+    strip=True applies Python-str.strip() parity (strip_ws, unicode-
+    aware) to the assembled text, matching the reference's .strip() on
+    the combined document; visit raw_text is unstripped per reference.
+    """
+    from pyspark.sql import Window
+
+    entry = F.struct(order_col, frag.alias("frag"))
+    if max_chars is not None:
+        w = (
+            Window.partitionBy(*part_cols).orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_before = F.coalesce(F.sum(F.length(frag)).over(w), F.lit(0))
+        # windows can't live inside an aggregate — materialize pre-agg
+        df = df.withColumn(
+            "_frag_entry", F.when(cum_before < F.lit(max_chars), entry)
+        )
+        entry = F.col("_frag_entry")
+    joined = F.array_join(
+        F.transform(F.array_sort(F.collect_list(entry)), lambda s: s["frag"]),
+        "",
+    )
+    if strip:
+        joined = strip_ws(joined)
+    if max_chars is None:
+        return df, joined, None
+    if strip:
+        trail_run = F.length(F.regexp_extract(frag, f"({PY_WS}*)$", 1))
+        full_len = (
+            F.sum(F.length(frag)) - F.lit(1)
+            - F.max_by(trail_run, F.col(order_col))
+        )
+    else:
+        full_len = F.sum(F.length(frag))
+    return (df, F.substring(joined, 1, max_chars),
+            full_len > F.lit(max_chars))
+
 
 def document_rollup(turns_with_visits: DataFrame,
                     include_combined_text: bool = True,
@@ -21,38 +88,21 @@ def document_rollup(turns_with_visits: DataFrame,
     PAGE banners (structuring_service.py:294-302).
 
     max_text_chars bounds the PER-GROUP AGGREGATION STATE of the
-    combined-text sink, not just the output string: turns whose
-    cumulative fragment length already reached the cap contribute NULL
-    to collect_list (which skips nulls), so a pathological 10^8-turn
-    conversation holds at most ~max_text_chars + one fragment in the
-    aggregation buffer instead of the whole conversation.  The running
-    sum rides a window partitioned by the same conv_id key as the
-    groupBy — one shuffle total (plan-pinned).  Adds a
-    raw_text_truncated flag.  Default None = reference semantics
-    (unbounded concat, the S7 sink contract)."""
+    combined-text sink, not just the output string, and adds a
+    raw_text_truncated flag — see capped_ordered_concat (one shuffle
+    total, plan-pinned).  Default None = reference semantics (unbounded
+    concat, the S7 sink contract)."""
     banner = "=" * 80
     frag = F.format_string(
         "\n%s\nPAGE %d\n%s\n\n%s\n\n",
         F.lit(banner), F.col("turn_idx"), F.lit(banner), F.col("text_clean"),
     )
-    collect_entry = F.struct("turn_idx", frag.alias("frag"))
-    if include_combined_text and max_text_chars is not None:
-        from pyspark.sql import Window
-
-        w = (
-            Window.partitionBy("conv_id").orderBy("turn_idx")
-            .rowsBetween(Window.unboundedPreceding, -1)
+    if include_combined_text:
+        # strip=True: the reference strips the assembled document with
+        # str.strip() (structuring_service.py:294-302)
+        turns_with_visits, combined, truncated = capped_ordered_concat(
+            turns_with_visits, ["conv_id"], frag, max_text_chars, strip=True
         )
-        cum_before = F.coalesce(F.sum(F.length(frag)).over(w), F.lit(0))
-        # the WHOLE struct goes null past the cap (collect_list skips
-        # null elements, but not structs with a null field); windows
-        # can't live inside an aggregate, so materialize the entry as a
-        # pre-agg column — same conv_id partitioning, no extra exchange
-        turns_with_visits = turns_with_visits.withColumn(
-            "_frag_entry",
-            F.when(cum_before < F.lit(max_text_chars), collect_entry),
-        )
-        collect_entry = F.col("_frag_entry")
     aggs = [
         F.count("*").alias("page_count"),
         F.bround(F.avg("confidence"), 2).alias("ocr_confidence_avg"),
@@ -72,44 +122,9 @@ def document_rollup(turns_with_visits: DataFrame,
         F.sum(F.length("text_clean")).alias("total_characters"),
     ]
     if include_combined_text:
-        joined = F.regexp_replace(
-            F.regexp_replace(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(collect_entry)),
-                        lambda s: s["frag"],
-                    ),
-                    "",
-                ),
-                r"^\s+", "",
-            ),
-            r"\s+$", "",
-        )
-        if max_text_chars is not None:
-            aggs.append(
-                F.substring(joined, 1, max_text_chars).alias("raw_ocr_text")
-            )
-            # exact length of the FULL (uncapped, stripped) text without
-            # materializing it: every frag starts "\n" + banner (leading
-            # ws run of the concat is exactly 1) and contains non-ws
-            # banners (the trailing ws run of the concat is the last
-            # frag's own trailing run), so
-            #   len(strip(concat(all frags)))
-            #     = sum(len(frag)) - 1 - trail_ws_run(last frag).
-            # Flagging on sum(len(frag)) alone over-reports near the
-            # cap: the strip can shave up to a few chars, so a text
-            # whose stripped length is exactly <= cap would be marked
-            # truncated.
-            trail_run = F.length(F.regexp_extract(frag, r"(\s*)$", 1))
-            full_len = (
-                F.sum(F.length(frag)) - F.lit(1)
-                - F.max_by(trail_run, F.col("turn_idx"))
-            )
-            aggs.append(
-                (full_len > F.lit(max_text_chars)).alias("raw_text_truncated")
-            )
-        else:
-            aggs.append(joined.alias("raw_ocr_text"))
+        aggs.append(combined.alias("raw_ocr_text"))
+        if truncated is not None:
+            aggs.append(truncated.alias("raw_text_truncated"))
     return turns_with_visits.groupBy("conv_id").agg(*aggs)
 
 

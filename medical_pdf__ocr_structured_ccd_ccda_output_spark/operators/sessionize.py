@@ -126,30 +126,24 @@ def visit_rollup(turns_with_visits: DataFrame,
     bit-identical across engines (used by the DuckDB-oracled ccd_xml
     contract query; avg of doubles is summation-order-sensitive).
 
-    max_text_chars bounds the raw_text aggregation STATE per visit (see
-    rollups.document_rollup): past-cap turns collect a null struct, so
-    the buffer never exceeds ~cap + one fragment even for pathological
-    visits; adds a raw_text_truncated flag.  The running-sum window is
-    partitioned by (conv_id, visit_id) — hash partitioning on conv_id
-    from the sessionize stage already satisfies that clustering, so no
-    extra exchange (plan-pinned).  Default None = reference semantics.
-    """
+    max_text_chars bounds the raw_text aggregation STATE per visit and
+    adds a raw_text_truncated flag — see rollups.capped_ordered_concat.
+    The running-sum window is partitioned by (conv_id, visit_id) — hash
+    partitioning on conv_id from the sessionize stage already satisfies
+    that clustering, so no extra exchange (plan-pinned).  Default None =
+    reference semantics."""
     frag = F.format_string(
         "\n--- Page %d ---\n%s\n", F.col("turn_idx"), F.col("text_clean")
     )
-    collect_entry = F.struct("turn_idx", frag.alias("frag"))
-    if include_raw_text and max_text_chars is not None:
-        w = (
-            Window.partitionBy("conv_id", "visit_id").orderBy("turn_idx")
-            .rowsBetween(Window.unboundedPreceding, -1)
+    if include_raw_text:
+        from .rollups import capped_ordered_concat
+
+        # strip=False: per-visit raw_text is unstripped per reference
+        # (chunking_service.py:158-207)
+        turns_with_visits, raw_text, truncated = capped_ordered_concat(
+            turns_with_visits, ["conv_id", "visit_id"], frag,
+            max_text_chars, strip=False,
         )
-        cum_before = F.coalesce(F.sum(F.length(frag)).over(w), F.lit(0))
-        # windows can't live inside aggregates — materialize pre-agg
-        turns_with_visits = turns_with_visits.withColumn(
-            "_frag_entry",
-            F.when(cum_before < F.lit(max_text_chars), collect_entry),
-        )
-        collect_entry = F.col("_frag_entry")
     aggs = [
         F.min("turn_idx").alias("first_turn"),
         F.max("turn_idx").alias("last_turn"),
@@ -180,19 +174,7 @@ def visit_rollup(turns_with_visits: DataFrame,
             ).alias("encounter_type")
         )
     if include_raw_text:
-        joined = F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(collect_entry)),
-                lambda s: s["frag"],
-            ),
-            "",
-        )
-        if max_text_chars is not None:
-            aggs.append(
-                F.substring(joined, 1, max_text_chars).alias("raw_text"))
-            aggs.append(
-                (F.sum(F.length(frag)) > F.lit(max_text_chars))
-                .alias("raw_text_truncated"))
-        else:
-            aggs.append(joined.alias("raw_text"))
+        aggs.append(raw_text.alias("raw_text"))
+        if truncated is not None:
+            aggs.append(truncated.alias("raw_text_truncated"))
     return turns_with_visits.groupBy("conv_id", "visit_id").agg(*aggs)

@@ -20,6 +20,7 @@ datetime.now()), and "Visits Processed" replaces the page-count row
 
 from __future__ import annotations
 
+from ..functions.cleaning import strip_ws
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .xml import _na
@@ -239,7 +240,7 @@ def render_narrative(visits: DataFrame, sections: DataFrame | None = None,
         name = pid = dob = sex = F.lit(None).cast("string")
     demo = F.concat_ws(
         "\n",
-        F.when(name.isNotNull() & (F.trim(name) != ""),
+        F.when(name.isNotNull() & (strip_ws(name) != ""),
                F.concat(F.lit("Name: "), name)),
         F.when(pid.isNotNull(), F.concat(F.lit("Patient ID: "), pid)),
         F.when(dob.isNotNull(), F.concat(F.lit("Date of Birth: "), dob)),

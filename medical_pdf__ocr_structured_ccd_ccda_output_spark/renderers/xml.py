@@ -435,6 +435,7 @@ def demographics_xml(patients: DataFrame) -> DataFrame:
     """(conv_id, record_target_xml): recordTarget with patient id, parsed
     name (given/family split, xml_renderer.py:105-170), birthTime and
     administrativeGenderCode; UNK nullFlavors when absent."""
+    from ..functions.cleaning import strip_ws
     from ..functions.lookup import parse_name_expr
 
     pid = F.when(
@@ -445,7 +446,8 @@ def demographics_xml(patients: DataFrame) -> DataFrame:
     ).otherwise(F.lit('<id nullFlavor="UNK"/>'))
     parsed = parse_name_expr(F.col("patient_name"))
     name = F.when(
-        F.col("patient_name").isNotNull() & (F.trim(F.col("patient_name")) != ""),
+        F.col("patient_name").isNotNull()
+        & (strip_ws(F.col("patient_name")) != ""),
         F.concat(
             F.lit("<name>"),
             F.when(parsed["given"] != "",

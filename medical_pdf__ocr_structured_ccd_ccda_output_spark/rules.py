@@ -64,6 +64,32 @@ def _scoped(p: str) -> str:
 BOILERPLATE_COMBINED = "|".join(_scoped(p) for p in BOILERPLATE_LINE_PATTERNS)
 _BOILER_RE = re.compile(BOILERPLATE_COMBINED)
 
+# --- regex dialect export -------------------------------------------------
+# The patterns in this module are the PYTHON spec: on str patterns,
+# Python-re \s/\S cover the full str.isspace() set (ASCII \s + \x1c-\x1f
+# + NEL + NBSP + all Unicode Z*).  Java \s is ASCII-only, and DuckDB's
+# RE2 \s further lacks \x0b (vertical tab) — so patterns exported to
+# Spark rlike/regexp_* or to oracle SQL go through engine_portable(),
+# which spells \s/\S as an explicit class meaning the same thing in
+# BOTH Java and RE2 (\x0b listed explicitly for RE2; flat class — RE2
+# has no nested classes).  \d and \b stay as written: they are ASCII in
+# Java/RE2, and non-ASCII digits are declared outside the payload
+# domain (the grammars below only ever pair \d with ASCII separators).
+PY_WS_PORTABLE = r"[\s\x0b\x1c-\x1f\x85\p{Z}]"
+PY_NONWS_PORTABLE = r"[^\s\x0b\x1c-\x1f\x85\p{Z}]"
+
+
+def engine_portable(pat: str) -> str:
+    """Java/RE2 spelling of a Python-re pattern: every bare \\s / \\S is
+    replaced with the explicit Python-whitespace class (see note above).
+    Only valid for patterns that keep \\s/\\S OUTSIDE character classes
+    (all of this module's do)."""
+    return re.sub(
+        r"\\[sS]",
+        lambda m: PY_WS_PORTABLE if m.group() == r"\s" else PY_NONWS_PORTABLE,
+        pat,
+    )
+
 EMPTY_EXTRACTION_MARKER = "[UNCLEAR: no extractable content]"
 
 

@@ -161,6 +161,7 @@ def _make_ooo_update(max_buffer: int, flush_after_ms: int):
             buf = dict(zip(bidx or [], bb or []))
         else:
             started, b, nxt, buf, since = False, 0, 0, {}, None
+        pre_batch = set(buf)  # indices carried over from prior batches
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         if chunks:
             batch = pd.concat(chunks)
@@ -180,6 +181,14 @@ def _make_ooo_update(max_buffer: int, flush_after_ms: int):
         while nxt in buf:
             emit(nxt, buf.pop(nxt))
             nxt += 1
+        # streak accounting: `since` times the oldest STILL-buffered
+        # carried-over turn.  If the drain resolved every pre-batch
+        # occupant, whatever remains arrived THIS batch and starts a
+        # fresh streak — keeping the stale `since` would force-flush
+        # turns that waited 0 ms and advance the watermark past (and so
+        # permanently drop) their missing predecessors
+        if not (pre_batch & buf.keys()):
+            since = None
         # the delay bound is checked inline too: a group that receives
         # data every micro-batch never times out, but its streak still
         # ages past the deadline

@@ -396,6 +396,65 @@ def test_ooo_deadline_survives_sustained_arrivals():
     assert feed(st, 2400, [], timed_out=True) == [10]
 
 
+def test_ooo_streak_resets_when_old_blocker_drains():
+    """Round-3 review fix: when one batch both resolves the old streak's
+    blocker AND delivers new out-of-order turns, the new turns must
+    start a FRESH streak.  Inheriting the stale buffered_since_ms would
+    force-flush turns that waited 0 ms and advance the watermark past
+    their missing predecessors, permanently dropping legitimate turns."""
+    import pandas as pd
+
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.streaming.stream import (
+        _make_ooo_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self.hasTimedOut = False, False
+            self._tuple, self.now, self.armed = None, 0, None
+
+        @property
+        def get(self):
+            return self._tuple
+
+        def getCurrentProcessingTimeMs(self):
+            return self.now
+
+        def update(self, t):
+            self._tuple, self.exists = t, True
+
+        def setTimeoutDuration(self, ms):
+            self.armed = ms
+
+    update = _make_ooo_update(max_buffer=100, flush_after_ms=1_000)
+
+    def feed(state, now, rows, timed_out=False):
+        state.now, state.hasTimedOut, state.armed = now, timed_out, None
+        pdf = pd.DataFrame(rows, columns=["turn_idx", "is_boundary"])
+        out = list(update(("c1",), [pdf] if rows else [], state))
+        return list(out[0]["turn_idx"]) if out else []
+
+    st = FakeState()
+    # t=0: turns 0,1 emitted; turn 4 buffered (2,3 in flight) -> streak 0
+    assert feed(st, 0, [(0, False), (1, False), (4, False)]) == [0, 1]
+    assert st._tuple[5] == 0
+    # t=1000 (deadline instant): 2,3 arrive — resolving the streak — plus
+    # out-of-order 9.  The drain emits 2,3,4; 9 is a NEW streak and must
+    # NOT be force-flushed against the t=0 clock
+    assert feed(st, 1000, [(2, False), (3, False), (9, False)]) == [2, 3, 4]
+    assert st._tuple[5] == 1000 and st.armed == 1_000  # fresh streak
+    # t=1100: the in-flight 5,6,7,8 arrive and must still be accepted
+    # (the buggy path had nxt=10 here, dropping all four as late)
+    assert feed(st, 1100, [(5, False), (6, False), (7, False),
+                           (8, False)]) == [5, 6, 7, 8, 9]
+    # a pre-batch survivor KEEPS its streak: 12 buffered at t=2000...
+    assert feed(st, 2000, [(12, False)]) == []
+    assert st._tuple[5] == 2000
+    # ...still blocked at t=2500 when 14 joins: streak start unchanged
+    assert feed(st, 2500, [(14, False)]) == []
+    assert st._tuple[5] == 2000 and st.armed == 500
+
+
 def test_stateful_sessionize_ooo_timeout_flush(spark, tmp_path):
     """A LOST turn with fewer than max_buffer successors must not
     withhold its conversation forever: the processing-time timeout

@@ -24,8 +24,10 @@ _FRAGMENTS = st.sampled_from([
     "café ñ 中文 ↑ ±", "signature illegible", "\r\n", "  -  ",
 ])
 _RAW = st.text(
+    # \x0b\x0c\x1c\x85\xa0 : Python-whitespace chars that Java \s /
+    # RE2 \s treat differently — the PY_WS parity surface (round 3)
     alphabet=string.ascii_letters + string.digits + string.punctuation
-    + " \t\n\r" + "éñ↑±中",
+    + " \t\n\r\x0b\x0c\x1c\x85\xa0 " + "éñ↑±中",
     max_size=80,
 )
 _DOC = st.lists(st.one_of(_RAW, _FRAGMENTS), min_size=0, max_size=12).map(
@@ -42,6 +44,15 @@ _DOC = st.lists(st.one_of(_RAW, _FRAGMENTS), min_size=0, max_size=12).map(
     # tipping abbrevs to 6 and diverging confidence by 0.05.
     docs=['signature illegible O:P"ñ \r\n        VG±\rCH5Jj( [UNCLEAR .M '
           'HTN DM2 BID  (?) 2w5@=C]\n\rQW|#c\n       '] + [""] * 15,
+)
+@example(
+    # regression (round-3 engine_portable): boilerplate lines indented/
+    # padded with NBSP / VT / NEL must still be dropped, NBSP-padded
+    # line ends trimmed, and an all-unicode-whitespace result must hit
+    # the empty marker — Python \s is unicode-aware, Java's is not.
+    docs=["\xa0======\nreal content\x0b\x85\nPAGE 3\x0b\n",
+          "\xa0 \x85\x1c\x0b", "line\xa0\nkeep me\x1c\x1d\x1e\x1f"]
+    + [""] * 13,
 )
 def test_extractor_parity_on_generated_text(docs):
     from pyspark.sql import functions as F
@@ -101,6 +112,16 @@ _DOC_LINES = st.lists(st.one_of(_RAW, _LINES), min_size=0, max_size=10).map(
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_DOC_LINES, min_size=12, max_size=12))
+@example(
+    # round-3 engine_portable pins: NBSP-indented section headers must
+    # match (sections + the omnibus rule surface run on the same text),
+    # and a VT/NEL-padded vitals line must still parse upstream
+    docs=["\xa0MEDICATIONS:\nmetformin 10mg",
+          "\x0bASSESSMENT:\x85\n- stable",
+          "VITAL SIGNS\nBP:\xa0120/80 mmHg",
+          "\xa0\x0bVisit Date: 03/15/2024"]
+    + [""] * 8,
+)
 def test_rule_surface_parity_on_generated_text(docs):
     from pyspark.sql import functions as F
 
@@ -168,7 +189,7 @@ def test_rule_surface_parity_on_generated_text(docs):
 # \xa0/ /\x85/\x1c: Python str.strip()/.split() treat these as
 # whitespace; the Spark exprs must too (PY_WS class, round-3 fix)
 _NAMES = st.text(
-    alphabet=string.ascii_letters + " .,'-\t\n\xa0 \x85\x1c", max_size=24
+    alphabet=string.ascii_letters + " .,'-\t\n\x0b\xa0 \x85\x1c", max_size=24
 )
 _GUESS = st.one_of(
     st.none(), st.sampled_from(["", "  ", "metformin", "x"]),
@@ -376,7 +397,7 @@ def test_entity_extraction_parity_on_generated_text(docs):
 # ---------------------------------------------------------------------------
 
 _EXCERPT_LINE = st.text(
-    alphabet=string.ascii_letters + string.digits + " .,:|[]()-\xa0 ",
+    alphabet=string.ascii_letters + string.digits + " .,:|[]()-\x0b\xa0 ",
     max_size=90,
 )
 
