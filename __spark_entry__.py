@@ -1743,9 +1743,12 @@ def _date_sql(src: str = "documents", keys: str = "doc_id",
     """SQL for rules.extract_date over {src}.{text}: three patterns in
     priority order, first match per pattern, invalid parse falls through.
     fmt=True emits 'YYYY-MM-DD' strings, fmt=False a DATE column."""
+    # year > 0 guards: DuckDB try_strptime is proleptic ('0000' -> 1 BC)
+    # but Python strptime — the rules spec — raises for year < 1 and
+    # falls through to the next pattern (Spark side guards identically)
     date_expr = r"""coalesce(
-    CASE WHEN a1 <> '' THEN CAST(try_strptime(a3 || '-' || a1 || '-' || a2, '%Y-%m-%d') AS DATE) END,
-    CASE WHEN b1 <> '' THEN CAST(try_strptime(b1 || '-' || b2 || '-' || b3, '%Y-%m-%d') AS DATE) END,
+    CASE WHEN a1 <> '' AND CAST(a3 AS INT) > 0 THEN CAST(try_strptime(a3 || '-' || a1 || '-' || a2, '%Y-%m-%d') AS DATE) END,
+    CASE WHEN b1 <> '' AND CAST(b1 AS INT) > 0 THEN CAST(try_strptime(b1 || '-' || b2 || '-' || b3, '%Y-%m-%d') AS DATE) END,
     CASE WHEN c1 <> '' THEN CAST(try_strptime(
       (CASE WHEN CAST(c3 AS INT) < 50 THEN '20' || c3 ELSE '19' || c3 END)
       || '-' || c1 || '-' || c2, '%Y-%m-%d') AS DATE) END
@@ -2446,7 +2449,7 @@ WITH occ AS (
 )
 SELECT conv_id, visit_id,
   min_by(name, source_page) AS name,
-  min_by(dose, source_page) FILTER (WHERE dose IS NOT NULL) AS dose,
+  min_by(dose, source_page) FILTER (WHERE dose IS NOT NULL AND dose <> '') AS dose,
   CAST(NULL AS VARCHAR) AS frequency,
   CAST(NULL AS VARCHAR) AS route,
   array_to_string(list_sort(list_distinct(list(source_page))), ',') AS source_pages,

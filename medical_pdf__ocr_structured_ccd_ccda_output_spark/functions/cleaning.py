@@ -42,7 +42,7 @@ def clean_text_expr(text: Column) -> Column:
     # a '\xa0===' ruler line must still be dropped under Java regex
     kept = F.filter(
         lines,
-        lambda l: ~l.rlike(rules.engine_portable(rules.BOILERPLATE_COMBINED)),
+        lambda l: ~l.rlike(rules.java_portable(rules.BOILERPLATE_COMBINED)),
     )
     # PY_WS, not \s: rules.clean_text trims with Python re (unicode-
     # aware), so an NBSP-padded line end must strip here too

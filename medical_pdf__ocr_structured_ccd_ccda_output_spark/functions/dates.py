@@ -28,7 +28,11 @@ def _candidate(text: Column, pattern: str, order: str) -> Column:
         ).otherwise(F.concat(F.lit("19"), yy))
         m, d = g1, g2
     iso = F.concat_ws("-", y, m, d)
-    return F.when(g1 != "", F.try_to_date(iso, "yyyy-M-d"))
+    # y > 0: Spark's try_to_date is proleptic and accepts year 0000,
+    # but Python strptime (the rules spec) raises for year < MINYEAR=1
+    # and falls through to the next pattern
+    return F.when((g1 != "") & (y.cast("int") > 0),
+                  F.try_to_date(iso, "yyyy-M-d"))
 
 
 def extracted_date_expr(text: Column) -> Column:
@@ -41,4 +45,7 @@ def extracted_date_expr(text: Column) -> Column:
 
 
 def is_visit_boundary_expr(text: Column) -> Column:
-    return text.rlike(rules.VISIT_BOUNDARY_PATTERN)
+    # java_portable: without (?d), Java's (?im)^ also fires after a bare
+    # \r / NEL / U+2028 surviving mid-line, where Python re (and the
+    # RE2 oracle) anchor only after \n — phantom visit boundaries
+    return text.rlike(rules.java_portable(rules.VISIT_BOUNDARY_PATTERN))

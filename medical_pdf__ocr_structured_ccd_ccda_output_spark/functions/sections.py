@@ -36,7 +36,7 @@ def _prefilter_pattern() -> str:
     alts = "|".join(sorted(names, key=len, reverse=True))
     # engine_portable: the rules spec's \s is Python-unicode (a header
     # line indented with NBSP must still match under Java regex)
-    return rules.engine_portable(
+    return rules.java_portable(
         r"(?i)^\s*(?:" + alts + r")\s*:?\s*$|(?i)^\s*(?:" + alts + r")\s*:"
     )
 
@@ -49,7 +49,7 @@ def section_name_expr(line: Column) -> Column:
     order), guarded by the prefilter."""
     expr = None
     for name, pat in rules.SECTION_RULES:
-        cond = line.rlike(rules.engine_portable(pat))
+        cond = line.rlike(rules.java_portable(pat))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return F.when(line.rlike(SECTION_PREFILTER), expr)
 

@@ -28,20 +28,33 @@ from pyspark.sql import DataFrame, functions as F
 
 from .. import rules
 
+# fill_fields = the kind's *_MERGE_FIELDS ∩ fields: the ONLY columns
+# _complete_fields ever fills (result.value is deliberately absent —
+# differing lab values become conflicts, never completions).  bump =
+# how len(pages) > 1 drives the 0.95 merge_confidence in the rules
+# tier: 'all' counts a None source_page (merge_medications /
+# merge_lab_results add unfiltered), 'nonnull' excludes None
+# (merge_simple), None = the kind never sets it (merge_problems).
 _KIND_SPEC = {
     "medication": {
         "key": "name",
         "fields": ["name", "dose", "frequency", "route"],
+        "fill_fields": ["dose", "frequency", "route"],
+        "bump": "all",
         "merge": rules.merge_medications,
     },
     "problem": {
         "key": "problem",
         "fields": ["problem", "icd10_code", "status"],
+        "fill_fields": ["icd10_code", "status"],
+        "bump": None,
         "merge": rules.merge_problems,
     },
     "result": {
         "key": "test_name",
         "fields": ["test_name", "value", "unit", "reference_range", "abnormal_flag"],
+        "fill_fields": ["unit", "reference_range", "abnormal_flag"],
+        "bump": "all",
         "merge": rules.merge_lab_results,
     },
     # list-typed visit fields beyond the reference's dedup service,
@@ -49,12 +62,16 @@ _KIND_SPEC = {
     "allergy": {
         "key": "substance",
         "fields": ["substance"],
+        "fill_fields": [],
+        "bump": "nonnull",
         "merge": lambda recs, thr: rules.merge_simple(
             recs, "substance", [], thr, type_name="allergy"),
     },
     "plan": {
         "key": "action",
         "fields": ["action", "category"],
+        "fill_fields": ["category"],
+        "bump": "nonnull",
         "merge": lambda recs, thr: rules.merge_simple(
             recs, "action", ["category"], thr, type_name="plan"),
     },
@@ -187,7 +204,7 @@ def split_dedup_output(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("log_item2").alias("item2"),
         F.col("log_similarity").alias("similarity"),
         F.col("log_threshold").alias("threshold"),
-        "log_source_pages",
+        F.col("log_source_pages").alias("source_pages"),
     )
     return ent, log
 
@@ -195,8 +212,17 @@ def split_dedup_output(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
 def exact_dedup_sql(entities: DataFrame, kind: str) -> DataFrame:
     """Exact-tier-only dedup as pure SQL aggregates (no Python) — the
     scale path when fuzzy matching is disabled: group on the normalized
-    key, first occurrence wins, union source pages, first non-null per
-    field (deduplication_service exact-match semantics).
+    key, first occurrence wins, union source pages, and field completion
+    with the rules tier's exact semantics (round-3 review fix):
+
+    * only the kind's fill_fields complete (_complete_fields is called
+      with *_MERGE_FIELDS — notably result.value NEVER fills; differing
+      values are conflicts, not completions);
+    * a falsy base value ('' as well as NULL) counts as missing, and the
+      filler must itself be non-falsy;
+    * the 0.95 merge_confidence bump follows the kind's rules tier:
+      problems never bump, meds/results count a None source_page toward
+      the multi-page test, allergy/plan exclude None (merge_simple).
 
     Greedy parity holds for the exact tier because exact-match groups
     are equivalence classes — order only affects which occurrence is
@@ -204,35 +230,58 @@ def exact_dedup_sql(entities: DataFrame, kind: str) -> DataFrame:
     """
     spec = _KIND_SPEC[kind]
     key, fields = spec["key"], spec["fields"]
+    fill_fields = spec["fill_fields"]
     # PY_WS: rules.normalize_term collapses PYTHON-unicode whitespace
     # (after the collapse only plain spaces remain, so F.trim == .strip())
     norm = F.trim(F.regexp_replace(F.lower(F.col(key)), f"{PY_WS}+", " "))
     order_keys = [c for c in ("source_page", "source_line_in_turn")
                   if c in entities.columns]
     ordered_struct = F.struct(*order_keys, *[F.col(f) for f in fields])
-    return (
+
+    def _filled(f: str):
+        first = F.col(f"_first.{f}")
+        if f not in fill_fields:
+            return first.alias(f)
+        # base falsy -> first non-falsy occurrence, else keep base as-is
+        # (coalesce tail keeps '' when nothing can fill it)
+        return F.coalesce(
+            F.nullif(first, F.lit("")), F.col(f"_fill_{f}"), first
+        ).alias(f)
+
+    agg = (
         entities.withColumn("_norm_key", norm)
         .groupBy("conv_id", "visit_id", "_norm_key")
         .agg(
             F.min(ordered_struct).alias("_first"),
             *[
                 F.min(
-                    F.when(F.col(f).isNotNull(), F.struct(*order_keys, F.col(f)))
+                    F.when(
+                        F.col(f).isNotNull() & (F.col(f) != ""),
+                        F.struct(*order_keys, F.col(f)),
+                    )
                 )[f].alias(f"_fill_{f}")
-                for f in fields
+                for f in fill_fields
             ],
             F.array_sort(F.collect_set("source_page")).alias("source_pages"),
+            # any-null flag must aggregate over the GROUP, not _first
+            F.max(F.col("source_page").isNull().cast("int")).alias("_has_null_page")
+            if "source_page" in order_keys else F.lit(0).alias("_has_null_page"),
             F.count("*").alias("occurrences"),
         )
-        .select(
-            "conv_id", "visit_id",
-            F.col(f"_first.{key}").alias(key),
-            *[
-                F.coalesce(F.col(f"_first.{f}"), F.col(f"_fill_{f}")).alias(f)
-                for f in fields if f != key
-            ],
-            "source_pages",
-            F.when(F.size("source_pages") > 1, 0.95).alias("merge_confidence"),
-            "occurrences",
-        )
+    )
+    if spec["bump"] == "all":
+        # rules' pages set is seeded/extended unfiltered, so a None
+        # source_page is a distinct member for the len(pages) > 1 test
+        n_pages = F.size("source_pages") + F.col("_has_null_page")
+    elif spec["bump"] == "nonnull":
+        n_pages = F.size("source_pages")
+    else:
+        n_pages = F.lit(1)
+    return agg.select(
+        "conv_id", "visit_id",
+        F.col(f"_first.{key}").alias(key),
+        *[_filled(f) for f in fields if f != key],
+        "source_pages",
+        F.when(n_pages > 1, 0.95).alias("merge_confidence"),
+        "occurrences",
     )

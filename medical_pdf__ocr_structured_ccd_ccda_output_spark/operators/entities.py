@@ -20,11 +20,11 @@ from ..functions.cleaning import PY_WS, strip_ws
 # name then optional dose (number+unit) then the rest as frequency/route
 # (engine_portable: \s means Python-unicode whitespace in every grammar
 # of this module — an NBSP-indented med line must still parse)
-_MED_LINE = rules.engine_portable(
+_MED_LINE = rules.java_portable(
     r"^\s*(?:\d+[.)]\s*)?([A-Za-z][A-Za-z \-]*?)\s+(\d+(?:\.\d+)?\s*(?:mg|mcg|g|ml|units?))\b\s*(.*)$"
 )
 _PROBLEM_SECTIONS = ("PAST MEDICAL HISTORY", "ASSESSMENT", "IMPRESSION")
-_LAB_LINE = rules.engine_portable(
+_LAB_LINE = rules.java_portable(
     r"^\s*([A-Za-z][A-Za-z0-9 ]*?)\s*\|\s*([^|]+?)\s*\|\s*([^|]+?)\s*(?:\|\s*([^|]*?)\s*)?$"
 )
 
@@ -66,10 +66,10 @@ def extract_medications(turns: DataFrame) -> DataFrame:
 def extract_problems(turns: DataFrame) -> DataFrame:
     lines = _section_lines(turns, _PROBLEM_SECTIONS)
     cleaned = F.regexp_replace(
-        F.col("line"), rules.engine_portable(r"^\s*[-*•]\s*"), ""
+        F.col("line"), rules.java_portable(r"^\s*[-*•]\s*"), ""
     )
     return (
-        lines.filter(F.col("line").rlike(rules.engine_portable(r"^\s*[-*•]\s*\S")))
+        lines.filter(F.col("line").rlike(rules.java_portable(r"^\s*[-*•]\s*\S")))
         .select(
             "conv_id", "visit_id",
             F.trim(cleaned).alias("problem"),
@@ -105,7 +105,7 @@ def extract_lab_results(turns: DataFrame) -> DataFrame:
 # grammar defined in rules.py §13, shared with the pytest oracle)
 # ---------------------------------------------------------------------------
 
-_BULLET = rules.engine_portable(rules.BULLET_PREFIX_PATTERN)
+_BULLET = rules.java_portable(rules.BULLET_PREFIX_PATTERN)
 
 
 def _canonical_vital_expr(label):
@@ -123,7 +123,7 @@ def extract_vitals(turns: DataFrame) -> DataFrame:
     BloodPressure range validation flag (40-300 / 20-200,
     canonical_schema.py:75-76).  Pure JVM regex."""
     lines = _section_lines(turns, ("VITAL SIGNS",))
-    vital_pat = rules.engine_portable(rules.VITAL_LINE_PATTERN)
+    vital_pat = rules.java_portable(rules.VITAL_LINE_PATTERN)
     g = lambda i: F.regexp_extract(F.col("line"), vital_pat, i)  # noqa: E731
     parsed = (
         lines.filter(F.col("line").rlike(vital_pat))

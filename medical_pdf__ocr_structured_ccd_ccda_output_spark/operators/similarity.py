@@ -238,21 +238,29 @@ def cosine_near_dups(embeddings: DataFrame, threshold: float = 0.9,
     within small blocks); the scale path is cosine_near_dups_lsh."""
     a, b = embeddings.alias("a"), embeddings.alias("b")
     score = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    out = F.round(score, round_to) if round_to is not None else score
-    return (
+    # Threshold on the UNROUNDED score in every tier (a pair at
+    # 0.8999996 must not round up past a 0.9 threshold here while the
+    # LSH tier excludes it — the 'lsh ⊆ brute' invariant); round_to
+    # affects display only.
+    pairs = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            out.alias("score"),
+            score.alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
+    if round_to is not None:
+        pairs = pairs.select(
+            "id_a", "id_b", F.round("score", round_to).alias("score")
+        )
+    return pairs
 
 
 def cosine_near_dups_lsh(embeddings: DataFrame, threshold: float = 0.9,
                          n_planes: int = 8, n_tables: int = 8,
-                         dim: int = 64, seed: int = 42) -> DataFrame:
+                         *, dim: int, seed: int = 42) -> DataFrame:
     """Embedding-cosine near-dups at scale: candidates are pairs
     colliding in ANY hyperplane table (OR-amplified — high-cosine pairs
     collide with probability (1-theta/pi)^H per table), then exact

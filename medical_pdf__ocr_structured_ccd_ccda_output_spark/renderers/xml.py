@@ -84,8 +84,6 @@ def render_ccd_xml(visits: DataFrame, sections: DataFrame | None = None,
                 ),
                 "\n",
             ).alias("_components"),
-            F.count("*").alias("_n_visits"),
-            F.bround(F.avg("v.confidence"), 4).alias("_avg_conf"),
         )
     )
     if patients is not None:
@@ -132,8 +130,11 @@ def render_ccd_xml(visits: DataFrame, sections: DataFrame | None = None,
 
 
 def _na(col: Column) -> Column:
-    """'' / null -> N/A table-cell fallback (xml_renderer.py `or \"N/A\"`)."""
-    return F.when(col.isNull() | (col == ""), F.lit("N/A")).otherwise(col)
+    """'' / null -> N/A table-cell fallback (xml_renderer.py `or \"N/A\"`).
+    The value branch is xml-escaped: the reference renders via
+    ElementTree SubElement/tostring, which escapes every text node —
+    a lab reference_range like '<100' must become '&lt;100'."""
+    return F.when(col.isNull() | (col == ""), F.lit("N/A")).otherwise(xml_escape(col))
 
 
 def _section_xml(code: str, display: str, title: str, body: Column) -> Column:
@@ -167,15 +168,12 @@ def _agg_rows(df: DataFrame, row: Column, sep: str = "") -> DataFrame:
 def _coded_entry(text_col: Column, code_map: list[tuple[str, str]],
                  system: str) -> Column:
     """First-match substring code lookup -> <entry> element or ''
-    (xml_renderer_v2.py:664-676)."""
-    hit = F.lit(None).cast("struct<code:string,display:string>")
-    low = F.lower(text_col)
-    for key, code in reversed(code_map):
-        hit = F.when(
-            low.contains(key),
-            F.struct(F.lit(code).alias("code"),
-                     F.lit(key.title()).alias("display")),
-        ).otherwise(hit)
+    (xml_renderer_v2.py:664-676).  The lookup itself is F11's
+    code_lookup_expr — one implementation of the first-match-wins
+    semantics, this wrapper only formats the <entry>."""
+    from ..functions.lookup import code_lookup_expr
+
+    hit = code_lookup_expr(text_col, code_map)
     return F.when(
         hit.isNotNull(),
         F.format_string(
@@ -192,8 +190,8 @@ def _problem_row() -> Column:
     item_text = F.concat(
         xml_escape(F.col("problem")),
         F.when(F.col("icd10_code").isNotNull(),
-               F.concat(F.lit(" ("), F.col("icd10_code"), F.lit(")"))
-               ).otherwise(F.lit("")),
+               F.concat(F.lit(" ("), xml_escape(F.col("icd10_code")),
+                        F.lit(")"))).otherwise(F.lit("")),
         F.when(F.col("source_page").isNotNull(),
                F.format_string(" [Page %d]", F.col("source_page"))
                ).otherwise(F.lit("")),
@@ -252,8 +250,8 @@ def _vital_row() -> Column:
     return F.format_string(
         "<item>%s</item>",
         F.rtrim(F.format_string(
-            "%s: %s %s", F.col("vital_name"), num,
-            F.coalesce(F.col("unit"), F.lit("")),
+            "%s: %s %s", xml_escape(F.col("vital_name")), num,
+            xml_escape(F.coalesce(F.col("unit"), F.lit(""))),
         )),
     )
 
@@ -283,7 +281,7 @@ def _result_row() -> Column:
     flag = F.when(
         F.col("abnormal_flag").isNull() | (F.col("abnormal_flag") == ""),
         F.lit("normal"),
-    ).otherwise(F.col("abnormal_flag"))
+    ).otherwise(xml_escape(F.col("abnormal_flag")))
     return F.concat(
         F.format_string(
             "<tr><td>%s</td><td>%s</td><td>%s</td><td>%s</td><td>%s</td>"
@@ -314,8 +312,8 @@ def _plan_row() -> Column:
     item = F.concat(
         xml_escape(F.col("action")),
         F.when(F.col("category").isNotNull(),
-               F.concat(F.lit(" ("), F.col("category"), F.lit(")"))
-               ).otherwise(F.lit("")),
+               F.concat(F.lit(" ("), xml_escape(F.col("category")),
+                        F.lit(")"))).otherwise(F.lit("")),
         F.when(F.col("source_page").isNotNull(),
                F.format_string(" [Page %d]", F.col("source_page"))
                ).otherwise(F.lit("")),
@@ -441,7 +439,7 @@ def demographics_xml(patients: DataFrame) -> DataFrame:
     pid = F.when(
         F.col("patient_id").isNotNull(),
         F.format_string('<id extension="%s" root="%s"/>',
-                        F.col("patient_id").cast("string"),
+                        xml_escape(F.col("patient_id").cast("string")),
                         F.lit(PATIENT_ID_ROOT)),
     ).otherwise(F.lit('<id nullFlavor="UNK"/>'))
     parsed = parse_name_expr(F.col("patient_name"))

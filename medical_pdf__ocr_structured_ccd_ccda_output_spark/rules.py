@@ -90,6 +90,17 @@ def engine_portable(pat: str) -> str:
         pat,
     )
 
+
+def java_portable(pat: str) -> str:
+    """engine_portable + Java's UNIX_LINES flag.  Python-re (and RE2)
+    treat ONLY \\n as a line terminator for `.` / multiline `^` / `$`;
+    Java additionally treats \\r, \\x85, \\u2028/\\u2029 — so without
+    (?d) a bare-CR payload diverges: Java (?m)^ fires after \\r (phantom
+    visit boundaries) and Java `.` refuses to cross it (boilerplate
+    `.*$` rules stop matching).  (?d) is Java-only; the RE2/DuckDB side
+    uses engine_portable() and already has \\n-only semantics."""
+    return "(?d)" + engine_portable(pat)
+
 EMPTY_EXTRACTION_MARKER = "[UNCLEAR: no extractable content]"
 
 

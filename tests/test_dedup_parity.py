@@ -125,6 +125,59 @@ def test_exact_dedup_sql(spark):
     assert rows["Lisinopril"]["merge_confidence"] is None
 
 
+def test_exact_dedup_sql_complete_fields_parity(spark):
+    """Round-3 review fixes: the pure-SQL exact tier must mirror
+    rules._complete_fields ('' counts as missing, result.value never
+    fills) and each kind's merge_confidence bump (problems never bump;
+    meds/results count a None source_page toward multi-page; allergy/
+    plan exclude None)."""
+    med_schema = ("conv_id string, visit_id string, name string, "
+                  "dose string, frequency string, route string, "
+                  "source_page int, source_line_in_turn int")
+    meds = spark.createDataFrame(
+        [("c1", "v1", "Aspirin", "", None, None, 1, 1),      # '' = missing
+         ("c1", "v1", "aspirin", "81mg", None, None, 3, 1),
+         ("c1", "v1", "Statin", "", None, None, 1, 2),       # nothing fills
+         ("c1", "v1", "statin", "", None, None, 2, 1),
+         ("c2", "v1", "Metformin", "500mg", None, None, None, 1),  # None page
+         ("c2", "v1", "metformin", None, None, None, 7, 1)], med_schema)
+    got = {(r["conv_id"], r["name"]): r.asDict()
+           for r in exact_dedup_sql(meds, "medication").collect()}
+    a = got[("c1", "Aspirin")]
+    assert a["dose"] == "81mg"          # '' base filled by later truthy
+    assert a["merge_confidence"] == 0.95
+    assert got[("c1", "Statin")]["dose"] == ""     # '' kept when unfillable
+    m = got[("c2", "Metformin")]
+    assert m["source_pages"] == [7]     # output pages are None-filtered
+    assert m["merge_confidence"] == 0.95  # ...but None counts toward bump
+
+    labs = spark.createDataFrame(
+        [("c1", "v1", "Sodium", None, None, None, None, 1, 1),
+         ("c1", "v1", "sodium", "140", "mmol/L", None, None, 2, 1)],
+        "conv_id string, visit_id string, test_name string, value string, "
+        "unit string, reference_range string, abnormal_flag string, "
+        "source_page int, source_line_in_turn int")
+    lab = exact_dedup_sql(labs, "result").collect()[0].asDict()
+    assert lab["value"] is None         # value NEVER completes
+    assert lab["unit"] == "mmol/L"      # unit is a RESULT_MERGE_FIELD
+
+    probs = spark.createDataFrame(
+        [("c1", "v1", "HTN", None, None, 1, 1),
+         ("c1", "v1", "htn", None, None, 2, 1)],
+        "conv_id string, visit_id string, problem string, icd10_code string, "
+        "status string, source_page int, source_line_in_turn int")
+    prob = exact_dedup_sql(probs, "problem").collect()[0].asDict()
+    assert prob["merge_confidence"] is None  # merge_problems never bumps
+
+    alls = spark.createDataFrame(
+        [("c1", "v1", "Penicillin", None, 1),
+         ("c1", "v1", "penicillin", 7, 1)],
+        "conv_id string, visit_id string, substance string, "
+        "source_page int, source_line_in_turn int")
+    al = exact_dedup_sql(alls, "allergy").collect()[0].asDict()
+    assert al["merge_confidence"] is None  # merge_simple excludes None page
+
+
 def test_excerpt_enrichment(spark):
     from pyspark.sql import functions as F
     from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.extract import extract_turns

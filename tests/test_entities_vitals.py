@@ -366,10 +366,20 @@ def test_renderer_edge_cases(spark):
         "conv_id string, visit_id string, problem string, icd10_code string, "
         "status string, source_page int, source_line_in_turn int")
     meds = spark.createDataFrame(
-        [("c1", "visit_001", "Drug <A> & B", "x" * 5000, None, None, 1, 1)],
+        [("c1", "visit_001", "Drug <A> & B", "x" * 5000, None, None, 1, 1),
+         # XML-reserved chars in the _na-rendered cells (round-3 review
+         # fix: dose/frequency/route previously rendered unescaped)
+         ("c1", "visit_001", "Aspirin", "<81mg>", 'q"d"', "p&o", 2, 1)],
         "conv_id string, visit_id string, name string, dose string, "
         "frequency string, route string, source_page int, source_line_in_turn int")
-    secs = rx.entity_sections(medications=meds, problems=probs)
+    labs = spark.createDataFrame(
+        # '<100' reference range — extremely common in real lab data and
+        # previously produced an unclosed tag (malformed document)
+        [("c1", "visit_001", "Glucose", "95", "mg/dL", "<100", "H&L", 3, 1)],
+        "conv_id string, visit_id string, test_name string, value string, "
+        "unit string, reference_range string, abnormal_flag string, "
+        "source_page int, source_line_in_turn int")
+    secs = rx.entity_sections(medications=meds, problems=probs, results=labs)
     visits = spark.createDataFrame(
         [("c1", "visit_001", None, "note & <text>", 0.72)],
         "conv_id string, visit_id string, visit_date date, raw_text string, "
@@ -379,6 +389,8 @@ def test_renderer_edge_cases(spark):
     assert root.tag.endswith("ClinicalDocument")
     assert "↑" in xml_str and "&amp;" in xml_str and "&lt;severe&gt;" in xml_str
     assert "x" * 5000 in xml_str
+    assert "&lt;81mg&gt;" in xml_str and "p&amp;o" in xml_str
+    assert "&lt;100" in xml_str and "H&amp;L" in xml_str
 
     # empty entity DataFrames -> no entity sections, still well-formed
     empty = spark.createDataFrame(

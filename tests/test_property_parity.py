@@ -92,6 +92,10 @@ def test_extractor_parity_on_generated_text(docs):
 _LINES = st.sampled_from([
     "Visit Date: 03/15/2024", "2024-3-5", "1/2/99", "13/45/2024",
     "00/10/24", "05/06/0007", "0500/1/2", "12-31-49 follow up",
+    # year-0: Python strptime raises (falls through); Spark/DuckDB are
+    # proleptic and must guard explicitly.  \r boundary: Java (?m)^
+    # fires after bare \r without (?d), Python/RE2 only after \n
+    "1/2/0000", "0000-10-05 then 1/2/99", "note\rVisit Date: 1/2/24",
     "Date of Service: 04/01/2024", "encounter date: soon",
     "Admission Date:", "discharge date: 1/1/11",
     "MEDICATIONS", "ASSESSMENT:", "HPI: chest pain",
@@ -559,7 +563,7 @@ def test_dedup_operator_matches_rules_merge(groups):
         have_log = sorted(
             (r["action"], r["reason"], r["item1"], r["item2"],
              r["similarity"], r["threshold"],
-             tuple(r["log_source_pages"]))
+             tuple(r["source_pages"]))
             for r in got_log.get((conv, visit), [])
         )
         assert have_log == want_log, (conv, visit, recs)
