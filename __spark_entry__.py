@@ -1798,7 +1798,7 @@ _STOPWORDS_SQL = "[" + ", ".join(f"'{s}'" for s in corpus.STOPWORDS) + "]"
 _QUALITY_SQL = f"""
 WITH t AS (
   SELECT doc_id, text,
-    regexp_split_to_array(trim(regexp_replace(lower(text), '[\\s\\x0b]+', ' ', 'g')), ' ') AS words,
+    regexp_split_to_array(trim(regexp_replace(lower(coalesce(text, '')), '[\\s\\x0b]+', ' ', 'g')), ' ') AS words,
     length(text) AS n_chars
   FROM documents
 ), f AS (
@@ -1835,7 +1835,7 @@ def _langid_sql() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id,
-    regexp_split_to_array(trim(regexp_replace(lower(text), '[\\s\\x0b]+', ' ', 'g')), ' ') AS words
+    regexp_split_to_array(trim(regexp_replace(lower(coalesce(text, '')), '[\\s\\x0b]+', ' ', 'g')), ' ') AS words
   FROM documents
 ), s AS (
   SELECT doc_id, list_max({arr}) AS best FROM t
@@ -1857,7 +1857,7 @@ WITH sh AS (
            ELSE [array_to_string(words, ' ')] END)) AS shingles
   FROM (
     SELECT doc_id,
-      regexp_split_to_array(trim(regexp_replace(lower(text), '[\\s\\x0b]+', ' ', 'g')), ' ') AS words
+      regexp_split_to_array(trim(regexp_replace(lower(coalesce(text, '')), '[\\s\\x0b]+', ' ', 'g')), ' ') AS words
     FROM documents
   )
 ), keyed AS (
@@ -2288,7 +2288,7 @@ GROUP BY source
 _WORDS_CTE = r"""
 words AS (
   SELECT doc_id,
-    regexp_split_to_array(trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')), ' ') AS words
+    regexp_split_to_array(trim(regexp_replace(lower(coalesce(text, '')), '[\s\x0b]+', ' ', 'g')), ' ') AS words
   FROM documents
 )"""
 
@@ -2372,9 +2372,19 @@ FROM pairs WHERE {ham} <= {max_hamming}
 
 _FINGERPRINTS_MD5_SQL = f"""
 WITH {_WORDS_CTE},
-{_shingle_cte(5, out="grams")},
+-- POSITIONAL k-gram sequence, NOT the distinct/sorted shingle set:
+-- winnowing windows slide over the document's hash sequence (round-3
+-- review fix, mirrored in corpus.fingerprints)
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) - 4 > 0
+         THEN list_transform(range(1, len(words) - 3),
+              i -> array_to_string(words[i:i+4], ' '))
+         ELSE [array_to_string(words, ' ')] END AS grams
+  FROM words
+),
 h AS (
-  SELECT doc_id, list_sort(list_transform(grams, g -> md5(g))) AS hs FROM sh
+  SELECT doc_id, list_transform(grams, g -> md5(g)) AS hs FROM sh
 )
 SELECT doc_id,
   array_to_string(
@@ -3175,7 +3185,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_date": _DATE_SQL,
         "normalize": """
             SELECT doc_id,
-              trim(regexp_replace(lower(text), '[\\s\\x0b]+', ' ', 'g')) AS text_norm
+              trim(regexp_replace(lower(coalesce(text, '')), '[\\s\\x0b]+', ' ', 'g')) AS text_norm
             FROM documents
         """,
         "section_headers": _SECTIONS_SQL,
@@ -3190,7 +3200,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "exact_dedup": """
-            SELECT md5(trim(regexp_replace(lower(text), '[\\s\\x0b]+', ' ', 'g'))) AS content_key,
+            SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '[\\s\\x0b]+', ' ', 'g'))) AS content_key,
                    MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS dup_count
             FROM documents GROUP BY 1
@@ -3200,11 +3210,23 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _QUALITY_SQL,
         "language_id": _langid_sql(),
         "token_counts": f"""
+            -- Python len(text.split()) semantics: full-class strip
+            -- BEFORE the split (trim() is space-only and left phantom
+            -- empty tokens for \\n/\\t-padded text — round-3 fix)
+            WITH s AS (
+              SELECT doc_id,
+                regexp_replace(coalesce(text, ''),
+                  '^[\\s\\x0b\\x1c-\\x1f\\x85\\p{{Z}}]+|[\\s\\x0b\\x1c-\\x1f\\x85\\p{{Z}}]+$',
+                  '', 'g') AS t,
+                coalesce(text, '') AS raw
+              FROM documents
+            )
             SELECT doc_id,
-              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '[\\s\\x0b]+')) END AS INT) AS ws_tokens,
-              CAST(len(regexp_extract_all(text, '{tok_re}')) AS INT) AS bpe_tokens
-            FROM documents
+              CAST(CASE WHEN t = '' THEN 0
+                   ELSE len(regexp_split_to_array(t,
+                        '[\\s\\x0b\\x1c-\\x1f\\x85\\p{{Z}}]+')) END AS INT) AS ws_tokens,
+              CAST(len(regexp_extract_all(raw, '{tok_re}')) AS INT) AS bpe_tokens
+            FROM s
         """,
         "ann_bruteforce": _ANN_SQL,
         "pricing_summary": """

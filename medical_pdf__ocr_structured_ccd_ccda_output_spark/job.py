@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--shards", type=int, default=1)
     p.add_argument("--skew-aware", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--manifest-dir", default=None,
+                   help="shard-manifest directory (default: "
+                        "<output>/_manifest; REQUIRED when --output is "
+                        "an Iceberg catalog prefix)")
     p.add_argument("--no-raw-text", action="store_true",
                    help="skip combined-text sinks (the only per-conv "
                         "collect at pathological conversation sizes)")
@@ -50,7 +54,13 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark("ccda_extraction_job")
     transcripts = tio.read_table(spark, args.input, "transcripts")
-    manifest = Manifest(spark, os.path.join(args.output, "_manifest"), args.run_id)
+    if args.manifest_dir is None:
+        if tio.is_iceberg_location(args.output):
+            p.error("--output is an Iceberg catalog prefix; pass an "
+                    "explicit filesystem --manifest-dir for the shard "
+                    "manifest")
+        args.manifest_dir = os.path.join(args.output, "_manifest")
+    manifest = Manifest(spark, args.manifest_dir, args.run_id)
 
     shards = (
         manifest.pending(transcripts, args.shards)
@@ -71,6 +81,14 @@ def main(argv: list[str] | None = None) -> None:
             with_narrative=args.narrative,
             max_text_chars=args.max_text_chars or None,
         )
+        # every sink below derives from the extract+sessionize plan;
+        # without a persist, each of the ~15 write actions re-executes
+        # the scan, the Arrow cleaning UDF, and the conv_id shuffle
+        # from scratch (round-3 review fix).  MEMORY_AND_DISK: a shard
+        # that outgrows executor memory spills instead of recomputing.
+        from pyspark import StorageLevel
+
+        res.extracted_turns.persist(StorageLevel.MEMORY_AND_DISK)
         mode = "overwrite"
         suffix = f"_shard{shard}" if args.shards > 1 else ""
         tio.write_table(res.extracted_turns, args.output, f"extracted_turns{suffix}", mode)
@@ -95,11 +113,12 @@ def main(argv: list[str] | None = None) -> None:
         tio.write_table(res.metrics, args.output, f"metrics{suffix}", mode)
         for stage, ldf in res.lineage.items():
             tio.write_table(ldf, args.output, f"lineage_{stage}{suffix}", mode)
-        n = spark.read.parquet(
-            os.path.join(args.output, f"extracted_turns{suffix}.parquet")
-        ).count()
+        # read back through the same IO abstraction the writes used —
+        # a hardcoded parquet path crashes under an Iceberg output
+        n = tio.read_table(spark, args.output, f"extracted_turns{suffix}").count()
         total += n
-        manifest.mark_done(shard, n)
+        manifest.mark_done(shard, n, n_shards=args.shards)
+        res.extracted_turns.unpersist()
         print(f"[shard {shard}] {n} turns committed")
 
     dt = time.time() - t0

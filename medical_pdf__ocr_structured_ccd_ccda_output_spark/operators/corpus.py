@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 # ---------------------------------------------------------------------------
 
 def norm_text(col):
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """Null-safe lowercase + ASCII-whitespace collapse + space trim —
+    the corpus ops' shared normalization (NULL text == '' so every doc
+    emits a row from every operator, matching the Arrow shingler's
+    `(t or '')`)."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " ")
+    )
 
 
 def word_shingles(col, n: int = 3):
@@ -275,14 +281,16 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
     sh = simhash(documents, hash_fn)
 
     def _block(i: int):
-        # last block absorbs the remainder bits
+        # last block absorbs the remainder bits; at w == 64 (exact-match
+        # mode, max_hamming=0) the mask would overflow a Java long —
+        # the block is the whole hash, no AND needed
         w = width if i < n_blocks - 1 else 64 - width * (n_blocks - 1)
-        mask = (1 << w) - 1
-        return F.struct(
-            F.lit(i).alias("blk"),
-            F.shiftrightunsigned("simhash", i * width)
-            .bitwiseAND(F.lit(mask).cast("long")).alias("val"),
-        )
+        if w == 64:
+            val = F.col("simhash")
+        else:
+            val = F.shiftrightunsigned("simhash", i * width) \
+                .bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+        return F.struct(F.lit(i).alias("blk"), val.alias("val"))
 
     blocks = sh.select(
         "doc_id", "simhash",
@@ -474,15 +482,27 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x0b]"
 
 
 def token_counts(documents: DataFrame) -> DataFrame:
-    """Whitespace tokens + BPE-ish regex tokens (letters / digits /
-    single punctuation), both as plain projections."""
-    text = F.col("text")
-    ws = F.size(F.split(F.trim(text), r"\s+"))
+    """Whitespace tokens (Python len(text.split()) semantics) + BPE-ish
+    regex tokens (letters / digits / single punctuation), both as plain
+    projections.
+
+    The strip must cover the FULL Python whitespace set before the
+    split (round-3 review fix): F.trim strips only spaces, so
+    'a\\n'.split-ish counting via trim+split yielded a phantom empty
+    token for any text with leading/trailing \\n or \\t — i.e. an
+    off-by-one on most real documents."""
+    from ..functions.cleaning import PY_WS, strip_ws
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    stripped = strip_ws(text)
+    ws = F.when(stripped == "", F.lit(0)).otherwise(
+        F.size(F.split(stripped, f"{PY_WS}+"))
+    )
     bpe = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
     return documents.select(
         "doc_id",
-        F.when(F.length(F.trim(text)) == 0, 0).otherwise(ws).alias("ws_tokens"),
-        bpe.alias("bpe_tokens"),
+        ws.cast("int").alias("ws_tokens"),
+        bpe.cast("int").alias("bpe_tokens"),
     )
 
 
@@ -498,8 +518,22 @@ def fingerprints(documents: DataFrame, k: int = 5, window: int = 4,
     set (kept as an array column).  hash_fn='md5' uses lexicographic
     hex-digest ordering (engine-portable for the DuckDB oracle)."""
     gram_hash = F.md5 if hash_fn == "md5" else F.xxhash64
-    grams = word_shingles(F.col("text"), k)  # distinct k-grams
-    hashes = F.array_sort(F.transform(grams, lambda g: gram_hash(g)))
+    # POSITIONAL k-gram sequence — neither distinct nor sorted (round-3
+    # review fix): winnowing's windows are windows over the document's
+    # hash SEQUENCE.  Sorting first degenerates the whole scheme into
+    # "all hashes but the window-1 largest" (no size reduction), and
+    # dedup collapses repeated grams that should anchor separate
+    # windows.
+    words = F.split(norm_text(F.col("text")), " ")
+    nw = F.size(words) - (k - 1)
+    grams = F.when(
+        nw > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nw, F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    hashes = F.transform(grams, lambda g: gram_hash(g))
     m = F.size(hashes) - (window - 1)
     wins = F.when(
         m > 0,

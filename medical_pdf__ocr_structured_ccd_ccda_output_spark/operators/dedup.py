@@ -232,8 +232,11 @@ def exact_dedup_sql(entities: DataFrame, kind: str) -> DataFrame:
     key, fields = spec["key"], spec["fields"]
     fill_fields = spec["fill_fields"]
     # PY_WS: rules.normalize_term collapses PYTHON-unicode whitespace
-    # (after the collapse only plain spaces remain, so F.trim == .strip())
-    norm = F.trim(F.regexp_replace(F.lower(F.col(key)), f"{PY_WS}+", " "))
+    # (after the collapse only plain spaces remain, so F.trim == .strip());
+    # coalesce: normalize_term(None) == '' — a NULL key groups with ''
+    norm = F.trim(F.regexp_replace(
+        F.lower(F.coalesce(F.col(key), F.lit(""))), f"{PY_WS}+", " "
+    ))
     order_keys = [c for c in ("source_page", "source_line_in_turn")
                   if c in entities.columns]
     ordered_struct = F.struct(*order_keys, *[F.col(f) for f in fields])

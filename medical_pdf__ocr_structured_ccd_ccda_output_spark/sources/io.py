@@ -24,9 +24,28 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def is_iceberg_location(location: str) -> bool:
+    """True when `location` names an Iceberg catalog prefix
+    (catalog[.namespace]) rather than a filesystem directory.
+
+    A catalog prefix has no scheme, no path separator, at least one
+    dot, and does not exist on the local filesystem — so relative
+    directories like `data/transcripts` or `out` route to the parquet
+    layout instead of crashing on a missing Iceberg jar (round-3
+    review fix: the old absolute-path test misrouted every relative
+    path)."""
+    return (
+        "://" not in location
+        and "/" not in location
+        and os.sep not in location
+        and "." in location
+        and not os.path.exists(location)
+    )
+
+
 def read_table(spark: SparkSession, location: str, name: str) -> DataFrame:
     """location = Iceberg table prefix (catalog.db) or a directory."""
-    if "://" not in location and not location.startswith("/"):
+    if is_iceberg_location(location):
         return spark.read.format("iceberg").load(f"{location}.{name}")
     return spark.read.parquet(os.path.join(location, f"{name}.parquet"))
 
@@ -34,12 +53,23 @@ def read_table(spark: SparkSession, location: str, name: str) -> DataFrame:
 def write_table(df: DataFrame, location: str, name: str,
                 mode: str = "overwrite",
                 partition_by: list[str] | None = None) -> None:
-    if "://" not in location and not location.startswith("/"):
+    if is_iceberg_location(location):
+        from pyspark.sql import functions as F
+
         writer = df.writeTo(f"{location}.{name}")
+        if partition_by and mode != "append":
+            # appends inherit the existing table's partitioning; create
+            # paths must declare it or downstream partition pruning is
+            # silently lost (round-3 review fix)
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "append":
             writer.append()
-        else:
+        elif mode in ("error", "errorifexists"):
+            writer.create()  # raises if the table already exists
+        elif mode == "overwrite":
             writer.createOrReplace()
+        else:
+            raise ValueError(f"unsupported Iceberg write mode: {mode!r}")
         return
     w = df.write.mode(mode)
     if partition_by:

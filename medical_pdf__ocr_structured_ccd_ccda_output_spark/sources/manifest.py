@@ -26,26 +26,52 @@ class Manifest:
         self.path = path
         self.run_id = run_id
 
-    def completed_shards(self) -> set[int]:
-        try:
-            rows = (
-                self.spark.read.parquet(self.path)
-                .filter(F.col("run_id") == self.run_id)
-                .select("shard")
-                .collect()
-            )
-            return {r["shard"] for r in rows}
-        except Exception:  # first run: no manifest yet
-            return set()
+    def _rows(self):
+        """Manifest rows for this run_id, or [] on first run.  ONLY the
+        path-not-found case maps to "first run" — a corrupted footer or
+        permission error must propagate, not silently restart the whole
+        run (round-3 review fix)."""
+        from pyspark.errors import AnalysisException
 
-    def mark_done(self, shard: int, rows_out: int) -> None:
+        try:
+            # mergeSchema: manifests written before the n_shards column
+            # (and mixed-version appends) must still read cleanly
+            df = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return []
+            raise
+        return df.filter(F.col("run_id") == self.run_id).collect()
+
+    def completed_shards(self) -> set[int]:
+        return {r["shard"] for r in self._rows()}
+
+    def mark_done(self, shard: int, rows_out: int,
+                  n_shards: int | None = None) -> None:
         df = self.spark.createDataFrame(
-            [(self.run_id, shard, rows_out)], "run_id string, shard int, rows_out long"
+            [(self.run_id, shard, rows_out, n_shards)],
+            "run_id string, shard int, rows_out long, n_shards int",
         )
         df.coalesce(1).write.mode("append").parquet(self.path)
 
     def pending(self, transcripts: DataFrame, n_shards: int) -> list[int]:
-        done = self.completed_shards()
+        """Pending shard ids for a resume.  Refuses a shard count that
+        differs from the recorded one: pmod(hash, n) bucketing is not
+        stable across n, so resuming 64-shard work as 32 shards would
+        silently skip every conversation whose new bucket is already
+        marked done (round-3 review fix)."""
+        rows = self._rows()
+        recorded = {r["n_shards"] for r in rows
+                    if "n_shards" in r.__fields__ and r["n_shards"] is not None}
+        if recorded and recorded != {n_shards}:
+            raise ValueError(
+                f"manifest for run_id={self.run_id!r} was written with "
+                f"--shards {sorted(recorded)}; resuming with --shards "
+                f"{n_shards} would re-bucket conv_ids and silently skip "
+                f"data. Re-run with the original shard count."
+            )
+        done = {r["shard"] for r in rows}
         return [s for s in range(n_shards) if s not in done]
 
     def filter_shard(self, transcripts: DataFrame, shard: int,

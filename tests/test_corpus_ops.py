@@ -125,6 +125,57 @@ def test_token_counts(spark):
     assert got[3]["ws_tokens"] == 2
 
 
+def test_token_counts_python_split_semantics(spark):
+    """Round-3 review fix: ws_tokens == len(text.split()) — trim() is
+    space-only, so \\n/\\t-padded text previously counted a phantom
+    empty token (off-by-one on any document ending in a newline)."""
+    cases = [(1, "a\n"), (2, "\thello"), (3, "\n"), (4, None),
+             (5, "x\ny \t z\n"), (6, "\xa0only nbsp padded\xa0")]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r["doc_id"]: r["ws_tokens"]
+           for r in corpus.token_counts(df).collect()}
+    for i, t in cases:
+        assert got[i] == len((t or "").split()), (i, t)
+
+
+def test_fingerprints_winnowing_reduces(spark):
+    """Round-3 review fix: winnowing windows slide over the POSITIONAL
+    k-gram hash sequence.  The old sort-first version degenerated into
+    'all hashes but the window-1 largest' (no size reduction); true
+    winnowing keeps ~2/(window+1) of the grams.  Also pins the exact
+    output against a pure-Python winnow."""
+    words = [f"w{(i * 7919) % 97}" for i in range(300)]
+    txt = " ".join(words)
+    k, window = 3, 8
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    got = corpus.fingerprints(df, k=k, window=window,
+                              hash_fn="md5").first()["fingerprints"]
+
+    import hashlib
+    grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    want = sorted({min(hs[i:i + window])
+                   for i in range(len(hs) - window + 1)})
+    assert got == want
+    # the whole point: far fewer fingerprints than k-grams
+    assert len(got) < len(set(hs)) / 2
+
+
+def test_simhash_keeps_null_text_and_exact_mode(spark):
+    """Round-3 review fixes: a NULL-text doc must still emit a simhash
+    row (norm_text is null-safe), and max_hamming=0 (exact-match
+    blocks, 64-bit mask) must not overflow a Java long."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "alpha beta gamma")],
+        "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in corpus.simhash(df).collect()}
+    assert set(sh) == {1, 2, 3}
+    assert sh[1] == sh[3]
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in corpus.simhash_near_dups(df, max_hamming=0).collect()}
+    assert (1, 3) in pairs
+
+
 def test_fingerprints_python_oracle(spark):
     txt = "one two three four five six seven eight nine ten eleven twelve"
     df = spark.createDataFrame([(1, txt)], "doc_id long, text string")

@@ -85,3 +85,32 @@ def test_job_resume(spark, tmp_path):
         os.path.join(out_dir, "extracted_turns_shard2.parquet")
     ).select("conv_id").distinct().collect()}
     assert not (s1 & s2)
+
+
+def test_manifest_refuses_shard_count_change(spark, tmp_path):
+    """Round-3 review fix: pmod(hash, n) bucketing is not stable across
+    n, so resuming with a different --shards would silently skip every
+    conversation whose new bucket is already marked done."""
+    import pytest
+
+    man = Manifest(spark, str(tmp_path / "_m"), "r1")
+    man.mark_done(0, 10, n_shards=64)
+    tr = fixtures.transcripts_spark_df(spark, 4, seed=1)
+    assert man.pending(tr, 64) == list(range(1, 64))
+    with pytest.raises(ValueError, match="shards"):
+        man.pending(tr, 32)
+
+
+def test_io_location_dispatch(tmp_path):
+    """Round-3 review fix: relative filesystem paths must route to the
+    parquet layout, not the Iceberg catalog branch."""
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.sources.io import (
+        is_iceberg_location,
+    )
+
+    assert not is_iceberg_location("/abs/dir")
+    assert not is_iceberg_location("data/transcripts")   # relative path
+    assert not is_iceberg_location("out")                # bare relative dir
+    assert not is_iceberg_location("s3://bucket/prefix")
+    assert not is_iceberg_location(str(tmp_path))        # existing dir
+    assert is_iceberg_location("lake.db")                # catalog.namespace
