@@ -149,6 +149,15 @@ def _banded_candidates(sigs: DataFrame, num_hashes: int, bands: int,
     """(doc_a, doc_b, sig_a, sig_b) candidate pairs from LSH banding of
     minhash signatures: bucket key = (band_id, hash-of-band-slice), the
     self-join is an equi-join on uniformly distributed keys."""
+    if num_hashes % bands != 0:
+        # trailing components would be silently excluded from every
+        # band, quietly weakening the collision probability the
+        # (bands, rows) parameters promise
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}); {num_hashes % bands} trailing signature "
+            f"components would never be banded"
+        )
     rows_per_band = num_hashes // bands
     band_key = F.md5 if hash_fn == "md5" else F.xxhash64
 
