@@ -83,7 +83,7 @@ NL = "\n"
 _QUERY_ORDER = [
     # flagship + composition queries (S4/S6/S10/streaming/multimodal/S8/S9)
     "transcript_pipeline", "canonical_json", "lineage_checksum",
-    "streaming_extract", "media_features_docs", "ccd_xml",
+    "streaming_extract", "media_features_wav", "ccd_xml",
     "ccd_xml_entities", "human_doc",
     # dedup / merge family
     "first_wins_merge", "entity_exact_dedup", "fuzzy_merge",
@@ -94,7 +94,7 @@ _QUERY_ORDER = [
     "schema_warnings", "encounter_type", "data_quality",
     # extraction rules / sessionize / joins / rollups (SURVEY §2)
     "clean_extract", "confidence", "layout_hints",
-    "normalize", "section_headers", "section_spans",
+    "near_dup_clusters", "section_headers", "section_spans",
     "uncertain_tokens", "document_rollup", "stage_metrics",
     "review_reasons", "visit_sessionize", "combined_text",
     "numbered_tokens", "excerpt_join", "dedup_audit_rollup",
@@ -110,13 +110,15 @@ _QUERY_ORDER = [
     # exercised inside scored queries; the TPC-H showcases map to no §2
     # operator.  All remain oracled — tools/check_oracles.py verifies
     # every query below exactly like the driver verifies the first 50.
-    # near_dup_clusters is NOT redundant — it is the round-3 transitive-
-    # closure clustering op; it sits here because evicting any scored
-    # query would weaken a §2 citation, and its recursive-CTE oracle is
-    # verified by the local replica.)
-    "near_dup_clusters",
+    # Round-4 rotation: near_dup_clusters and media_features_wav moved
+    # INTO the scored window; normalize (F2 — embedded in the scored
+    # exact_dedup digest and fuzzy_merge normalize steps) and
+    # media_features_docs (stub twin — media_features_wav exercises a
+    # strict superset of its mapInPandas plumbing plus a real RIFF/PCM
+    # decode) rotated here.  Both stay oracled.)
+    "normalize", "media_features_docs",
     "boundary_flags", "extract_date", "mark_unclear", "parse_names",
-    "media_features_wav", "sanitize_names",
+    "sanitize_names",
     "region_revenue", "topk_per_group",
     "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",

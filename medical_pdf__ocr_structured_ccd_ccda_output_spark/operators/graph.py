@@ -6,8 +6,10 @@ cosine — ``operators/corpus.py``, ``operators/similarity.py``) emit
 closure — "docs A,B,C are one duplicate cluster even though only
 (A,B) and (B,C) were detected" — and one canonical survivor per
 cluster.  The reference collapses duplicates pairwise inside a single
-process (``/root/reference/src/processors/deduplicator.py`` merges
-greedily in a Python loop); at 10^12-doc scale the closure is a graph
+process (``/root/reference/src/services/deduplication_service.py:101-480``
+merges greedily in Python loops — ``merge_medications`` /
+``merge_problems`` / ``merge_lab_results``); at 10^12-doc scale the
+closure is a graph
 problem, solved here with the standard iterative min-label
 propagation used by MapReduce/Spark connected-components systems
 (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -137,8 +139,9 @@ def near_dup_clusters(
     ``keep`` marks the canonical survivor a dedup pipeline would
     retain: the longest text in the cluster (quality-first, mirroring
     the reference's longer-entry-wins merge rule,
-    ``/root/reference/src/processors/deduplicator.py`` problem-merge),
-    ties broken by smallest doc id.
+    ``/root/reference/src/services/deduplication_service.py:233-360``
+    ``merge_problems`` / ``_merge_problem_entries``), ties broken by
+    smallest doc id.
 
     The two analytic windows partition by ``cluster_id`` — safe because
     a cluster is a *duplicate* group (bounded fan-in: near-identical
