@@ -102,7 +102,8 @@ _QUERY_ORDER = [
     # corpus / ANN (oracled tiers + md5 twins)
     "exact_dedup", "ngram_jaccard", "quality_scores", "language_id",
     "token_counts", "ann_bruteforce", "ann_ivf_oracle", "emb_near_dups",
-    "minhash_lsh_md5", "simhash_md5", "fingerprints_md5", "ann_lsh_md5",
+    "corpus_dedup_pipeline", "simhash_md5", "fingerprints_md5",
+    "ann_lsh_md5",
     # ---- tail: oracled but redundant with queries above ----
     # (boundary_flags/extract_date are exercised inside the scored
     # transcript_pipeline/visit_sessionize/visit_rollup composition
@@ -115,8 +116,13 @@ _QUERY_ORDER = [
     # exact_dedup digest and fuzzy_merge normalize steps) and
     # media_features_docs (stub twin — media_features_wav exercises a
     # strict superset of its mapInPandas plumbing plus a real RIFF/PCM
-    # decode) rotated here.  Both stay oracled.)
-    "normalize", "media_features_docs",
+    # decode) rotated here.  Both stay oracled.  corpus_dedup_pipeline
+    # (the staged dedup DAG, oracled end-to-end vs a DuckDB recursive
+    # CTE) took minhash_lsh_md5's scored slot: the composition runs the
+    # SAME md5 minhash family + LSH banding + est-Jaccard filter as its
+    # third CTE stage, so the twin's semantics keep hard driver
+    # evidence through it.)
+    "normalize", "media_features_docs", "minhash_lsh_md5",
     "boundary_flags", "extract_date", "mark_unclear", "parse_names",
     "sanitize_names",
     "region_revenue", "topk_per_group",
@@ -126,7 +132,7 @@ _QUERY_ORDER = [
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
     "fingerprints", "ann_lsh", "ann_ivf", "emb_near_dups_lsh",
-    "media_features",
+    "media_features", "corpus_dedup_pipeline_prod",
 ]
 
 
@@ -383,6 +389,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graph.near_dup_clusters(docs, pairs)
     q["near_dup_clusters"] = q_near_dup_clusters
+
+    def q_corpus_dedup_pipeline(spark, sf):
+        """The full corpus-dedup DAG (corpus_job.py's composition):
+        exact dedup -> minhash signatures per distinct content -> LSH
+        banded pairs -> transitive closure -> per-doc decision lineage.
+        md5 tier (engine-portable) with the minhash_lsh_md5 params; the
+        xxhash64 production twin is rows-only at the tail and pinned
+        tier-equivalent in tests/test_corpus_job.py."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark import (
+            corpus_pipeline as cp,
+        )
+
+        res = cp.corpus_dedup(
+            _read(spark, sf, "documents"), num_hashes=16, bands=4,
+            jaccard_threshold=0.5, hash_fn="md5",
+        )
+        return res.decisions
+    q["corpus_dedup_pipeline"] = q_corpus_dedup_pipeline
+
+    def q_corpus_dedup_pipeline_prod(spark, sf):
+        """Production tier of the dedup DAG: xxhash64 minhash family
+        (rows-only — xxhash64 has no DuckDB equivalent; value semantics
+        pinned tier-equivalent to the oracled md5 twin above)."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark import (
+            corpus_pipeline as cp,
+        )
+
+        res = cp.corpus_dedup(
+            _read(spark, sf, "documents"), num_hashes=32, bands=8,
+            jaccard_threshold=0.5, hash_fn="xxhash64",
+        )
+        return res.decisions
+    q["corpus_dedup_pipeline_prod"] = q_corpus_dedup_pipeline_prod
 
     def q_quality(spark, sf):
         return corpus.quality_scores(_read(spark, sf, "documents"), round_to=None)
@@ -1901,6 +1940,69 @@ SELECT c.doc_id, c.cluster_id,
 FROM comp c JOIN documents d ON c.doc_id = d.doc_id
 """
 
+def _corpus_dedup_sql() -> str:
+    """Oracle for the composed dedup DAG (md5 tier, 16 hashes / 4
+    bands / 0.5 threshold): exact dedup -> minhash over exact-survivor
+    contents only -> LSH banding -> recursive-CTE closure -> per-doc
+    decision row with dense sentinel cluster columns (-1/0) for
+    exact-dropped docs."""
+    return f"""
+WITH RECURSIVE {_WORDS_CTE},
+{_shingle_cte(3)},
+keyed AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(coalesce(text, '')), '[\\s\\x0b]+', ' ', 'g')))
+      AS content_key
+  FROM documents
+), exact AS (
+  SELECT content_key, MIN(doc_id) AS keep_doc_id FROM keyed GROUP BY 1
+), surv_sh AS (
+  SELECT sh.doc_id, sh.shingles FROM sh JOIN exact e ON sh.doc_id = e.keep_doc_id
+), sig AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), i ->
+      list_min(list_transform(shingles,
+        s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM surv_sh
+), banded AS (
+  SELECT doc_id, sig, b,
+    md5(array_to_string(sig[b*4+1 : (b+1)*4], ',')) AS bucket
+  FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.sig AS sig_a, b2.sig AS sig_b
+  FROM banded a JOIN banded b2
+    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16
+        >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(id, lab) AS (
+  SELECT keep_doc_id, keep_doc_id FROM exact
+  UNION
+  SELECT e2.a, r.lab FROM edges e2 JOIN reach r ON e2.b = r.id
+), comp AS (
+  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+), clustered AS (
+  SELECT c.doc_id, c.cluster_id,
+    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+    (row_number() OVER (PARTITION BY c.cluster_id
+       ORDER BY length(d.text) DESC, c.doc_id ASC) = 1) AS near_keep
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT k.doc_id, k.content_key,
+  (cl.doc_id IS NOT NULL) AS exact_keep,
+  COALESCE(cl.cluster_id, -1) AS cluster_id,
+  CAST(COALESCE(cl.cluster_size, 0) AS BIGINT) AS cluster_size,
+  COALESCE(cl.near_keep, FALSE) AS keep
+FROM keyed k LEFT JOIN clustered cl ON k.doc_id = cl.doc_id
+"""
+
+
 _ANN_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
@@ -2934,6 +3036,7 @@ def oracle_sql() -> dict[str, str]:
         "ccd_xml": _CCD_XML_SQL,
         "entity_exact_dedup": _ENTITY_DEDUP_SQL,
         "minhash_lsh_md5": _MINHASH_MD5_SQL,
+        "corpus_dedup_pipeline": _corpus_dedup_sql(),
         "simhash_md5": _simhash_md5_sql(),
         "fingerprints_md5": _FINGERPRINTS_MD5_SQL,
         "ann_lsh_md5": _ann_md5_sql(),

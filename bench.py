@@ -70,6 +70,47 @@ def _timed(fn, *a):
     return r, time.time() - t0
 
 
+def _spin(workers: int, seconds: float = 1.0) -> int:
+    """Total pure-CPU spin iterations across `workers` processes —
+    the co-tenant-contention probe (also used by the scaling leg)."""
+    import multiprocessing as mp
+
+    q = mp.Queue()
+
+    def w(q):
+        import time as _t
+        end = _t.time() + seconds
+        x = n_iter = 0
+        while _t.time() < end:
+            for _ in range(10000):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            n_iter += 10000
+        q.put(n_iter)
+
+    ps = [mp.Process(target=w, args=(q,)) for _ in range(workers)]
+    [p.start() for p in ps]
+    total = sum(q.get() for _ in ps)
+    [p.join() for p in ps]
+    return total
+
+
+def _contention_probe(cpus: int) -> dict:
+    """How much of the box do we actually have right now?
+
+    spin(cpus) / (cpus * spin(1)) ≈ fraction of the advertised cores
+    this process can really use: ~1.0 idle, < 1 when co-tenants are
+    burning cores (shared-vCPU swings of 2-6x on unchanged code were
+    the round-2/3 headline artifacts — see BENCH.md 'Run-to-run
+    variance').  One spin(1) call always gets a whole core, so the
+    ratio needs no cross-run calibration constant."""
+    one = _spin(1)
+    many = _spin(cpus)
+    return {
+        "avail_core_ratio": round(many / (cpus * one), 3) if one else None,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -89,9 +130,27 @@ def main():
     # production scale where a job runs minutes per stage, so the bench
     # warms until the timing stabilizes and reports steady state.
     warm = [_timed(_extraction_job, spark, transcripts)[1] for _ in range(4)]
+    # Contention defense (round-3 review item): the driver keeps THIS
+    # number, and rounds 2/3 both recorded co-tenant capacity swings on
+    # unchanged code.  Gate each measurement window on a spin-probe
+    # available-core ratio + rep spread; on a dirty window, sleep and
+    # re-measure (min across attempts — contention only inflates).
     n_reps = 5  # shared vCPUs are noisy; min-of-5 damps co-tenant spikes
-    dts = [_timed(_extraction_job, spark, transcripts)[1] for _ in range(n_reps)]
-    dt = min(dts)
+    attempts = []
+    dt = None
+    for attempt in range(3):
+        probe = _contention_probe(CPUS)
+        dts = [_timed(_extraction_job, spark, transcripts)[1]
+               for _ in range(n_reps)]
+        spread = max(dts) / min(dts)
+        attempts.append({**probe, "reps_sec": [round(x, 3) for x in dts],
+                         "spread": round(spread, 3)})
+        dt = min(dts) if dt is None else min(dt, min(dts))
+        ratio = probe["avail_core_ratio"]
+        clean_window = (ratio is None or ratio >= 0.75) and spread <= 1.4
+        if clean_window:
+            break
+        time.sleep(15)
     timings["extraction_pipeline"] = round(dt, 3)
     throughput = n_turns / dt if dt else 0.0
 
@@ -108,6 +167,8 @@ def main():
         "ccd_xml_entities", "ngram_jaccard_banded",
         # round-3 operators
         "human_doc", "media_features_wav", "near_dup_clusters",
+        # round-4: the staged corpus-dedup DAG (production xxhash64 tier)
+        "corpus_dedup_pipeline_prod",
     ]:
         df = qs[name](spark, SF_DIR)
         _materialize(df)
@@ -149,6 +210,7 @@ def main():
         "n_turns": n_turns,
         "cpus": CPUS,
         "per_turn_equality": equality,
+        "contention": {"attempts": attempts, "clean_window": clean_window},
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
@@ -192,27 +254,7 @@ def main():
         r_hi = probe(hi, pin=hi < 32)  # pin unless the leg owns the box
         eff = (r_lo["best_sec"] / r_hi["best_sec"]) / (hi / lo)
 
-        def spin(workers):
-            import multiprocessing as mp
-            q = mp.Queue()
-
-            def w(q):
-                import time as _t
-                end = _t.time() + 3.0
-                x = n_iter = 0
-                while _t.time() < end:
-                    for _ in range(10000):
-                        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
-                    n_iter += 10000
-                q.put(n_iter)
-
-            ps = [mp.Process(target=w, args=(q,)) for _ in range(workers)]
-            [p.start() for p in ps]
-            total = sum(q.get() for _ in ps)
-            [p.join() for p in ps]
-            return total
-
-        ceiling = (spin(hi) / spin(lo)) / (hi / lo)
+        ceiling = (_spin(hi, 3.0) / _spin(lo, 3.0)) / (hi / lo)
         result["scaling"] = {
             "pair": [lo, hi],
             "n_turns": r_lo["n_turns"],

@@ -1,0 +1,227 @@
+"""spark-submit entrypoint for the corpus dedup pipeline, with
+stage-manifest resumability.
+
+  spark-submit --py-files mpx.zip -m ... corpus_job.py \
+      --input /lake/documents --output /lake/dedup \
+      --run-id dedup42 --shards 64 [--resume]
+
+Unlike the extraction job (``job.py``) — where every conv_id shard is
+an independent full pipeline — global dedup is a DAG whose late stages
+(pair join, transitive closure) need ALL early-stage output.  The unit
+of resumability is therefore a *stage*:
+
+  signatures/shard=i   per content_key-hash shard: content digests,
+                       exact-dedup map, ONE minhash signature per
+                       distinct content (duplicate text is never
+                       shingled twice)
+  pairs                global LSH banded candidates + est-Jaccard
+  clusters             transitive closure + survivor choice
+  survivors            per-doc decision lineage + kept documents +
+                       per-stage metrics
+
+Each stage commits its output tables before the manifest marks it
+done; ``--resume`` skips completed stages and reads their materialized
+outputs back.  Sharding stage 1 by content_key (not doc_id) makes the
+exact-dedup groupBy complete *within* a shard — duplicate groups can't
+straddle shards — at the cost of re-scanning the input per shard
+(the same trade the extraction job makes for conv_id shards; a
+one-pass bucketed pre-write amortizes it when the input is re-run
+often).
+
+Reference analog: dedup as a pipeline stage, ``main.py:170-174``;
+merge semantics, ``src/services/deduplication_service.py:101-480``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import corpus_pipeline as cp
+from .operators import corpus, graph
+from .session import get_spark
+from .sources import io as tio
+from .sources.manifest import StageManifest
+
+
+def _shard_filter(documents: DataFrame, shard: int, n_shards: int) -> DataFrame:
+    key = F.md5(corpus.norm_text(F.col("text")))
+    return documents.filter(
+        F.pmod(F.xxhash64(key), F.lit(n_shards)).cast("int") == shard
+    )
+
+
+def _read_shards(spark: SparkSession, output: str, name: str,
+                 shards: int) -> DataFrame:
+    parts = [
+        tio.read_table(spark, output, f"{name}_shard{i}")
+        for i in range(shards)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def run_corpus_job(spark: SparkSession, documents: DataFrame, output: str,
+                   *, run_id: str, shards: int = 1, resume: bool = False,
+                   manifest_dir: str | None = None, num_hashes: int = 32,
+                   bands: int = 8, shingle_n: int = 3,
+                   jaccard_threshold: float = 0.7,
+                   hash_fn: str = "xxhash64",
+                   progress=print) -> dict[str, int]:
+    """Run (or resume) the staged dedup DAG; returns per-stage row
+    counts.  Separated from main() so tests can drive kill/resume."""
+    if manifest_dir is None:
+        if tio.is_iceberg_location(output):
+            raise ValueError(
+                "--output is an Iceberg catalog prefix; pass an explicit "
+                "filesystem --manifest-dir for the stage manifest"
+            )
+        manifest_dir = os.path.join(output, "_manifest")
+    manifest = StageManifest(spark, manifest_dir, run_id)
+    manifest.record_params({
+        "num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n,
+        "jaccard_threshold": jaccard_threshold, "hash_fn": hash_fn,
+        "shards": shards,
+    })
+    done = manifest.completed() if resume else set()
+    counts: dict[str, int] = {}
+    t0 = time.time()
+
+    # ---- stage 1 (sharded): content keys, exact map, signatures ----
+    for shard in range(shards):
+        stage = f"signatures/shard={shard}"
+        if stage in done:
+            progress(f"[{stage}] already done, skipping")
+            continue
+        part = (
+            _shard_filter(documents, shard, shards)
+            if shards > 1 else documents
+        )
+        keyed = cp.content_keyed(part)
+        tio.write_table(
+            keyed.select("doc_id", "content_key"),
+            output, f"doc_keys_shard{shard}", "overwrite",
+        )
+        exact_map = cp.exact_map_of(keyed)
+        reps = keyed.join(
+            exact_map.select(F.col("keep_doc_id").alias("doc_id")), "doc_id"
+        )
+        sigs = corpus.minhash_signatures(
+            reps.select("doc_id", "text"), num_hashes, shingle_n, hash_fn
+        )
+        exact_sigs = exact_map.join(
+            sigs.select(F.col("doc_id").alias("keep_doc_id"), "signature"),
+            "keep_doc_id",
+        )
+        tio.write_table(exact_sigs, output, f"exact_sigs_shard{shard}",
+                        "overwrite")
+        n = tio.read_table(spark, output, f"exact_sigs_shard{shard}").count()
+        counts[stage] = n
+        manifest.mark_done(stage, n)
+        progress(f"[{stage}] {n} distinct contents committed")
+
+    def _skip(stage: str) -> bool:
+        if stage in done:
+            progress(f"[{stage}] already done, skipping")
+            return True
+        return False
+
+    # ---- stage 2 (global): LSH banded pairs over survivor signatures ----
+    exact_sigs = _read_shards(spark, output, "exact_sigs", shards)
+    if not _skip("pairs"):
+        sigs = exact_sigs.select(
+            F.col("keep_doc_id").alias("doc_id"), "signature"
+        )
+        pairs = corpus.lsh_pairs_from_signatures(
+            sigs, num_hashes, bands, jaccard_threshold, hash_fn
+        )
+        tio.write_table(pairs, output, "near_dup_pairs", "overwrite")
+        n = tio.read_table(spark, output, "near_dup_pairs").count()
+        counts["pairs"] = n
+        manifest.mark_done("pairs", n)
+        progress(f"[pairs] {n} candidate pairs committed")
+
+    # ---- stage 3 (global): transitive closure + survivor choice ----
+    if not _skip("clusters"):
+        pairs = tio.read_table(spark, output, "near_dup_pairs")
+        verts = exact_sigs.select(
+            F.col("keep_doc_id").alias("doc_id"), "text_len"
+        )
+        clusters = graph.near_dup_clusters(
+            verts, pairs, len_col="text_len"
+        )
+        tio.write_table(clusters, output, "near_dup_clusters", "overwrite")
+        n = tio.read_table(spark, output, "near_dup_clusters").count()
+        counts["clusters"] = n
+        manifest.mark_done("clusters", n)
+        progress(f"[clusters] {n} clustered docs committed")
+
+    # ---- stage 4 (global): per-doc lineage + kept documents ----
+    if not _skip("survivors"):
+        keyed = _read_shards(spark, output, "doc_keys", shards)
+        clusters = tio.read_table(spark, output, "near_dup_clusters")
+        decisions = cp.assemble_decisions(
+            keyed, exact_sigs.select("content_key", "keep_doc_id"), clusters
+        )
+        tio.write_table(decisions, output, "dedup_decisions", "overwrite")
+        kept = documents.join(
+            tio.read_table(spark, output, "dedup_decisions")
+            .filter("keep").select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        tio.write_table(kept, output, "kept_documents", "overwrite")
+        n_dec = tio.read_table(spark, output, "dedup_decisions").count()
+        n_kept = tio.read_table(spark, output, "kept_documents").count()
+        metrics = spark.createDataFrame(
+            [("decisions", n_dec), ("kept_documents", n_kept)]
+            + [(k, v) for k, v in sorted(counts.items())],
+            "stage string, rows_out long",
+        )
+        tio.write_table(metrics, output, "corpus_metrics", "overwrite")
+        counts["survivors"] = n_kept
+        manifest.mark_done("survivors", n_kept)
+        progress(f"[survivors] {n_kept} documents kept "
+                 f"({n_dec} decisions) committed")
+
+    dt = time.time() - t0
+    progress(f"run {run_id}: stages {sorted(counts)} in {dt:.1f}s")
+    return counts
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="documents table dir/prefix")
+    p.add_argument("--output", required=True, help="output dir/prefix")
+    p.add_argument("--run-id", default="dedup_0")
+    p.add_argument("--shards", type=int, default=1)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--manifest-dir", default=None,
+                   help="stage-manifest directory (default: "
+                        "<output>/_manifest; REQUIRED when --output is "
+                        "an Iceberg catalog prefix)")
+    p.add_argument("--num-hashes", type=int, default=32)
+    p.add_argument("--bands", type=int, default=8)
+    p.add_argument("--shingle-n", type=int, default=3)
+    p.add_argument("--jaccard-threshold", type=float, default=0.7)
+    p.add_argument("--hash-fn", choices=["xxhash64", "md5"],
+                   default="xxhash64")
+    args = p.parse_args(argv)
+
+    spark = get_spark("corpus_dedup_job")
+    documents = tio.read_table(spark, args.input, "documents")
+    run_corpus_job(
+        spark, documents, args.output, run_id=args.run_id,
+        shards=args.shards, resume=args.resume,
+        manifest_dir=args.manifest_dir, num_hashes=args.num_hashes,
+        bands=args.bands, shingle_n=args.shingle_n,
+        jaccard_threshold=args.jaccard_threshold, hash_fn=args.hash_fn,
+    )
+
+
+if __name__ == "__main__":
+    main()

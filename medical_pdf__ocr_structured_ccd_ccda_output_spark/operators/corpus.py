@@ -200,18 +200,15 @@ def _banded_candidates(sigs: DataFrame, num_hashes: int, bands: int,
     )
 
 
-def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
-                      bands: int = 8, shingle_n: int = 3,
-                      jaccard_threshold: float = 0.7,
-                      hash_fn: str = "xxhash64") -> DataFrame:
-    """Near-duplicate pairs via LSH banding + exact-Jaccard verification.
-
-    rows/band bucket join keys are (band_id, hash-of-band-slice) — the
-    self-join is an equi-join Catalyst executes as a shuffled hash join
-    on uniformly distributed keys.  Estimated Jaccard = fraction of
-    matching minhash components; candidates below threshold are dropped
-    before any pairwise text work."""
-    sigs = minhash_signatures(documents, num_hashes, shingle_n, hash_fn)
+def lsh_pairs_from_signatures(sigs: DataFrame, num_hashes: int = 32,
+                              bands: int = 8,
+                              jaccard_threshold: float = 0.7,
+                              hash_fn: str = "xxhash64") -> DataFrame:
+    """LSH banding + estimated-Jaccard filter over PRECOMPUTED minhash
+    signatures ``(doc_id, signature)``.  The staged corpus job
+    (``corpus_job.py``) materializes signatures once per distinct
+    content digest and feeds them here, so the expensive shingle +
+    minhash scan is never repeated across pipeline stages or resumes."""
     cand = _banded_candidates(sigs, num_hashes, bands, hash_fn)
     est = (
         F.size(
@@ -226,6 +223,23 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 32,
+                      bands: int = 8, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.7,
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-duplicate pairs via LSH banding + exact-Jaccard verification.
+
+    rows/band bucket join keys are (band_id, hash-of-band-slice) — the
+    self-join is an equi-join Catalyst executes as a shuffled hash join
+    on uniformly distributed keys.  Estimated Jaccard = fraction of
+    matching minhash components; candidates below threshold are dropped
+    before any pairwise text work."""
+    sigs = minhash_signatures(documents, num_hashes, shingle_n, hash_fn)
+    return lsh_pairs_from_signatures(
+        sigs, num_hashes, bands, jaccard_threshold, hash_fn
     )
 
 

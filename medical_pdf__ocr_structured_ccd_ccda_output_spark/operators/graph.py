@@ -131,6 +131,7 @@ def near_dup_clusters(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 30,
+    len_col: str | None = None,
 ) -> DataFrame:
     """Duplicate clusters + canonical-survivor selection over pair edges.
 
@@ -147,6 +148,11 @@ def near_dup_clusters(
     a cluster is a *duplicate* group (bounded fan-in: near-identical
     boilerplate families), not an unbounded natural key; the heavy
     lifting (transitive closure) happened on uniformly-keyed joins.
+
+    ``len_col``: name of a precomputed text-length column on
+    ``documents`` — the staged corpus job materializes lengths with the
+    signatures so the cluster stage never rescans document text.
+    Default (None) computes ``length(text)`` in place.
     """
     cc = connected_components(
         documents.select(id_col),
@@ -156,8 +162,11 @@ def near_dup_clusters(
         dst_col=dst_col,
         max_iter=max_iter,
     )
+    length_expr = (
+        F.col(len_col) if len_col is not None else F.length("text")
+    )
     docs = documents.select(
-        F.col(id_col).alias("_did"), F.length("text").alias("_len")
+        F.col(id_col).alias("_did"), length_expr.alias("_len")
     )
     labelled = cc.join(docs, cc["id"] == docs["_did"]).select(
         F.col("id").alias(id_col),

@@ -81,3 +81,73 @@ class Manifest:
 
 def output_shard_dir(base: str, name: str, shard: int) -> str:
     return os.path.join(base, f"{name}.parquet", f"shard={shard}")
+
+
+class StageManifest:
+    """String-keyed manifest for DAG-shaped jobs (corpus dedup).
+
+    The extraction job's unit of resumability is a conv_id hash shard
+    — every shard runs the same full pipeline independently.  Global
+    dedup is different: near-duplicates cross any document sharding, so
+    the pipeline is a DAG of *stages* (per-shard signature scans, then
+    global pair/cluster/survivor shuffles), each materialized to a
+    table before the next starts.  The resumability unit is therefore a
+    stage name ("signatures/shard=3", "pairs", "clusters", ...); a
+    restarted run skips completed stages and reads their materialized
+    outputs back instead of recomputing them.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, run_id: str):
+        self.spark = spark
+        self.path = path
+        self.run_id = run_id
+
+    def _rows(self):
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = self.spark.read.parquet(self.path)
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return []
+            raise
+        return df.filter(F.col("run_id") == self.run_id).collect()
+
+    def completed(self) -> set[str]:
+        return {r["stage"] for r in self._rows()}
+
+    def params(self) -> dict[str, str]:
+        """Recorded run parameters (written with the first stage).
+        Resuming with different dedup parameters would mix signatures
+        from incompatible hash families — refuse, like the extraction
+        manifest refuses a changed shard count."""
+        for r in self._rows():
+            if r["stage"] == "_params":
+                return dict(kv.split("=", 1) for kv in r["note"].split(";") if kv)
+        return {}
+
+    def record_params(self, params: dict[str, object]) -> None:
+        note = ";".join(f"{k}={v}" for k, v in sorted(params.items()))
+        recorded = self.params()
+        if recorded:
+            wanted = dict(kv.split("=", 1) for kv in note.split(";") if kv)
+            if recorded != wanted:
+                raise ValueError(
+                    f"stage manifest for run_id={self.run_id!r} was written "
+                    f"with params {recorded}; resuming with {wanted} would "
+                    f"mix incompatible signatures. Re-run with the original "
+                    f"parameters or a new --run-id."
+                )
+            return
+        self._append("_params", 0, note)
+
+    def mark_done(self, stage: str, rows_out: int) -> None:
+        self._append(stage, rows_out, "")
+
+    def _append(self, stage: str, rows_out: int, note: str) -> None:
+        df = self.spark.createDataFrame(
+            [(self.run_id, stage, rows_out, note)],
+            "run_id string, stage string, rows_out long, note string",
+        )
+        df.coalesce(1).write.mode("append").parquet(self.path)

@@ -1,0 +1,212 @@
+"""Staged corpus-dedup job (corpus_job.py / corpus_pipeline.py).
+
+Reference analog: dedup as a first-class pipeline stage
+(/root/reference/main.py:170-174 runs DeduplicationService over every
+document before output; merge rules in
+src/services/deduplication_service.py:101-480).  Here that becomes a
+manifest-resumable staged shuffle DAG; these tests pin
+
+* the decision semantics on a corpus with known duplicate structure,
+* md5-vs-xxhash64 tier equivalence (the driver oracles the md5 tier;
+  the production tier must make the SAME decisions),
+* staged job (shards>1, materialized stage tables) == lazy composition,
+* kill/resume skipping committed stages,
+* the params-mismatch refusal (resuming with a different hash family
+  would mix incompatible signatures).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_pdf__ocr_structured_ccd_ccda_output_spark import corpus_pipeline as cp
+from medical_pdf__ocr_structured_ccd_ccda_output_spark.corpus_job import run_corpus_job
+from medical_pdf__ocr_structured_ccd_ccda_output_spark.sources.manifest import StageManifest
+
+TEXT_A = ("the quick brown fox jumps over the lazy dog while the "
+          "patient reports mild headache and intermittent dizziness "
+          "since last tuesday with no fever chills or visual changes "
+          "noted on examination today")
+TEXT_B = ("blood pressure remains elevated despite medication "
+          "adjustment so cardiology recommends starting a low dose "
+          "beta blocker and scheduling an echocardiogram next month "
+          "to evaluate left ventricular function and wall motion")
+
+
+def _crafted_docs(spark):
+    """10 docs with known duplicate structure.
+
+    exact groups (normalized text): {1,2,3}, {4,6}, {5}, {7}, {8},
+    {9(None),10('')}; near-dup cluster among exact survivors: {4,5}
+    (doc 5 = doc 4 + one appended word, shingle Jaccard ~0.97, doc 5
+    the longer raw text so it is the cluster survivor).  TEXT_A and
+    TEXT_B share almost no shingles, so no cross-group pairs.
+    """
+    rows = [
+        (1, TEXT_A),
+        (2, TEXT_A.upper()),
+        (3, "  " + TEXT_A.replace(" ", "\t\t") + "  "),
+        (4, TEXT_B),
+        (5, TEXT_B + " tonight"),
+        (6, TEXT_B + " "),
+        (7, "completely different note about spark shuffle mechanics "
+            "and adaptive query execution partition coalescing rules"),
+        (8, "another unrelated document describing iceberg manifest "
+            "snapshot expiry and parquet row group pruning behaviour"),
+        (9, None),
+        (10, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+EXPECT_EXACT_KEEP = {1, 4, 5, 7, 8, 9}
+# near cluster {4,5}: doc 5's raw text is longer -> 5 survives
+EXPECT_KEEP = {1, 5, 7, 8, 9}
+
+
+def _decisions_map(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_corpus_dedup_decisions(spark, hash_fn):
+    docs = _crafted_docs(spark)
+    res = cp.corpus_dedup(docs, num_hashes=16, bands=4,
+                          jaccard_threshold=0.5, hash_fn=hash_fn)
+    dec = _decisions_map(res.decisions)
+    assert set(dec) == set(range(1, 11))
+    assert {d for d, r in dec.items() if r["exact_keep"]} == EXPECT_EXACT_KEEP
+    assert {d for d, r in dec.items() if r["keep"]} == EXPECT_KEEP
+    # near cluster {4,5}: shared cluster_id = min member, size 2
+    assert dec[4]["cluster_id"] == dec[5]["cluster_id"] == 4
+    assert dec[4]["cluster_size"] == dec[5]["cluster_size"] == 2
+    # exact-dropped docs carry dense sentinels, not NULLs
+    for d in (2, 3, 6, 10):
+        assert dec[d]["cluster_id"] == -1
+        assert dec[d]["cluster_size"] == 0
+        assert dec[d]["keep"] is False
+    # exact-dropped docs share their survivor's content_key
+    assert dec[2]["content_key"] == dec[1]["content_key"]
+    assert dec[10]["content_key"] == dec[9]["content_key"]
+    # survivors table is the keep semi-join of the input
+    assert {r["doc_id"] for r in res.survivors.collect()} == EXPECT_KEEP
+
+
+def test_tier_equivalence_md5_vs_xxhash64(spark):
+    """The production xxhash64 tier (rows-only at the driver) must make
+    identical decisions to the DuckDB-oracled md5 tier — different hash
+    family, same algorithm."""
+    docs = _crafted_docs(spark)
+    outs = []
+    for hash_fn in ("md5", "xxhash64"):
+        res = cp.corpus_dedup(docs, num_hashes=16, bands=4,
+                              jaccard_threshold=0.5, hash_fn=hash_fn)
+        outs.append({
+            d: (r["exact_keep"], r["cluster_id"], r["cluster_size"], r["keep"])
+            for d, r in _decisions_map(res.decisions).items()
+        })
+    assert outs[0] == outs[1]
+
+
+def test_staged_job_matches_lazy_composition(spark, tmp_path, sf_dir):
+    """run_corpus_job with shards=3 (materialized stage tables, shard
+    re-reads, manifest commits) produces the same decision multiset as
+    the single lazy DAG on the driver testdata corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "out")
+    counts = run_corpus_job(
+        spark, docs, out, run_id="j1", shards=3,
+        num_hashes=16, bands=4, jaccard_threshold=0.5, hash_fn="xxhash64",
+        progress=lambda *_: None,
+    )
+    assert set(counts) == {"signatures/shard=0", "signatures/shard=1",
+                           "signatures/shard=2", "pairs", "clusters",
+                           "survivors"}
+    got = spark.read.parquet(os.path.join(out, "dedup_decisions.parquet"))
+    want = cp.corpus_dedup(docs, num_hashes=16, bands=4,
+                           jaccard_threshold=0.5,
+                           hash_fn="xxhash64").decisions
+    cols = ["doc_id", "content_key", "exact_keep", "cluster_id",
+            "cluster_size", "keep"]
+    assert sorted(map(tuple, got.select(cols).collect())) == \
+        sorted(map(tuple, want.select(cols).collect()))
+    # sharded exact-dedup must be globally exact: content_key-hash
+    # sharding keeps every duplicate group inside one shard
+    n_distinct = docs.select(
+        F.md5(cp.corpus.norm_text(F.col("text")))).distinct().count()
+    assert got.filter("exact_keep").count() == n_distinct
+    kept = spark.read.parquet(os.path.join(out, "kept_documents.parquet"))
+    assert kept.count() == got.filter("keep").count()
+    assert kept.columns == docs.columns
+    metrics = spark.read.parquet(os.path.join(out, "corpus_metrics.parquet"))
+    assert metrics.count() >= 6
+
+
+def test_job_kill_resume(spark, tmp_path):
+    """Kill after the pairs stage commits; resume skips committed
+    stages and completes with correct decisions."""
+    docs = _crafted_docs(spark)
+    out = str(tmp_path / "out")
+
+    class Boom(Exception):
+        pass
+
+    def killer(msg):
+        if msg.startswith("[pairs]"):
+            raise Boom(msg)
+
+    with pytest.raises(Boom):
+        run_corpus_job(spark, docs, out, run_id="r1", shards=2,
+                       num_hashes=16, bands=4, jaccard_threshold=0.5,
+                       progress=killer)
+
+    man = StageManifest(spark, os.path.join(out, "_manifest"), "r1")
+    assert man.completed() == {"_params", "signatures/shard=0",
+                               "signatures/shard=1", "pairs"}
+
+    log = []
+    run_corpus_job(spark, docs, out, run_id="r1", shards=2, resume=True,
+                   num_hashes=16, bands=4, jaccard_threshold=0.5,
+                   progress=log.append)
+    skipped = [m for m in log if "already done, skipping" in m]
+    assert len(skipped) == 3  # 2 signature shards + pairs
+    got = spark.read.parquet(os.path.join(out, "dedup_decisions.parquet"))
+    assert {r["doc_id"] for r in got.filter("keep").collect()} == EXPECT_KEEP
+
+
+def test_decisions_plan_shuffle_budget(spark, sf_dir):
+    """The composed decisions DAG (exact groupBy, minhash groupBy,
+    banded self-join, closure label join, survivor window, lineage
+    joins) stays within a 10-exchange budget and every hash
+    partitioning keys on a uniform column (content digest, doc id, or
+    cluster id) — no text-valued or skew-prone shuffle keys anywhere,
+    which is what keeps the DAG viable at 100 TB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = cp.corpus_dedup(docs, num_hashes=16, bands=4,
+                          jaccard_threshold=0.5, hash_fn="xxhash64")
+    plan = res.decisions._jdf.queryExecution().executedPlan().toString()
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 10, plan
+    import re
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys <= {"doc_id", "content_key", "cluster_id",
+                    "_cid", "_did", "id", "band", "bucket"}, keys
+
+
+def test_resume_refuses_param_change(spark, tmp_path):
+    """Resuming with different dedup params would mix signatures from
+    incompatible hash families — must refuse."""
+    docs = _crafted_docs(spark)
+    out = str(tmp_path / "out")
+    run_corpus_job(spark, docs, out, run_id="p1", shards=1,
+                   num_hashes=16, bands=4, jaccard_threshold=0.5,
+                   progress=lambda *_: None)
+    with pytest.raises(ValueError, match="incompatible"):
+        run_corpus_job(spark, docs, out, run_id="p1", shards=1, resume=True,
+                       num_hashes=32, bands=8, jaccard_threshold=0.5,
+                       progress=lambda *_: None)
+    # a NEW run_id with new params in the same manifest dir is fine
+    run_corpus_job(spark, docs, out, run_id="p2", shards=1,
+                   num_hashes=16, bands=8, jaccard_threshold=0.5,
+                   progress=lambda *_: None)
