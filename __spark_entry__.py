@@ -101,7 +101,7 @@ _QUERY_ORDER = [
     "contains_code_lookup", "variant_lookup",
     # corpus / ANN (oracled tiers + md5 twins)
     "exact_dedup", "ngram_jaccard", "quality_scores", "language_id",
-    "token_counts", "ann_bruteforce", "ann_ivf_oracle", "emb_near_dups",
+    "token_counts", "incremental_dedup", "ann_ivf_oracle", "emb_near_dups",
     "corpus_dedup_pipeline", "simhash_md5", "fingerprints_md5",
     "ann_lsh_md5",
     # ---- tail: oracled but redundant with queries above ----
@@ -121,8 +121,14 @@ _QUERY_ORDER = [
     # CTE) took minhash_lsh_md5's scored slot: the composition runs the
     # SAME md5 minhash family + LSH banding + est-Jaccard filter as its
     # third CTE stage, so the twin's semantics keep hard driver
-    # evidence through it.)
+    # evidence through it.  incremental_dedup (the daily-ingest dedup
+    # path, oracled end-to-end) took ann_bruteforce's scored slot:
+    # ann_bruteforce and the still-scored ann_ivf_oracle share the
+    # IDENTICAL oracle SQL and produce identical values by construction
+    # (probe-all IVF ≡ brute force, pinned in test_ivf_topk_recall),
+    # so two scored rows carried one piece of evidence.)
     "normalize", "media_features_docs", "minhash_lsh_md5",
+    "ann_bruteforce",
     "boundary_flags", "extract_date", "mark_unclear", "parse_names",
     "sanitize_names",
     "region_revenue", "topk_per_group",
@@ -133,6 +139,7 @@ _QUERY_ORDER = [
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
     "fingerprints", "ann_lsh", "ann_ivf", "emb_near_dups_lsh",
     "media_features", "corpus_dedup_pipeline_prod",
+    "incremental_dedup_prod",
 ]
 
 
@@ -422,6 +429,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.decisions
     q["corpus_dedup_pipeline_prod"] = q_corpus_dedup_pipeline_prod
+
+    def _incremental(spark, sf, num_hashes, bands, hash_fn):
+        """Daily-ingest path: docs with doc_id % 7 == 0 are the NEW
+        batch, the rest are the existing corpus whose exact map +
+        per-distinct-content minhash signatures form the index
+        (exactly the tables corpus_job.py materializes).  Decision
+        lineage per batch doc: reason / dup_of / keep."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark import (
+            corpus_incremental as ci,
+            corpus_pipeline as cp,
+        )
+
+        docs = _read(spark, sf, "documents")
+        batch = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+        corp = docs.filter(F.col("doc_id") % 7 != 0)
+        keyed = cp.content_keyed(corp)
+        cmap = cp.exact_map_of(keyed)
+        reps = keyed.join(
+            cmap.select(F.col("keep_doc_id").alias("doc_id")), "doc_id"
+        )
+        csigs = corpus.minhash_signatures(
+            reps.select("doc_id", "text"), num_hashes, 3, hash_fn
+        )
+        res = ci.incremental_dedup(
+            batch, cmap.select("content_key", "keep_doc_id"), csigs,
+            num_hashes=num_hashes, bands=bands,
+            jaccard_threshold=0.5, hash_fn=hash_fn,
+        )
+        return res.decisions
+
+    def q_incremental_dedup(spark, sf):
+        """md5 tier (DuckDB-oracled end-to-end)."""
+        return _incremental(spark, sf, 16, 4, "md5")
+    q["incremental_dedup"] = q_incremental_dedup
+
+    def q_incremental_dedup_prod(spark, sf):
+        """Production xxhash64 tier (rows-only; tier-equivalence to the
+        oracled md5 twin pinned in tests/test_corpus_incremental.py)."""
+        return _incremental(spark, sf, 32, 8, "xxhash64")
+    q["incremental_dedup_prod"] = q_incremental_dedup_prod
 
     def q_quality(spark, sf):
         return corpus.quality_scores(_read(spark, sf, "documents"), round_to=None)
@@ -2003,6 +2050,106 @@ FROM keyed k LEFT JOIN clustered cl ON k.doc_id = cl.doc_id
 """
 
 
+def _incremental_dedup_sql() -> str:
+    """Oracle for the incremental-dedup decisions (md5 tier, 16/4,
+    threshold 0.5): batch = doc_id % 7 == 0, corpus index = exact map
+    + signatures of the rest.  Reason precedence mirrors
+    corpus_incremental.py: exact-vs-corpus, exact-in-batch,
+    near-vs-corpus (min matching corpus doc), near-in-batch
+    (recursive-CTE closure over the remaining batch docs, longest text
+    then min doc_id survives)."""
+    return f"""
+WITH RECURSIVE {_WORDS_CTE},
+{_shingle_cte(3)},
+keyed AS (
+  SELECT doc_id, doc_id % 7 = 0 AS is_batch,
+    md5(trim(regexp_replace(lower(coalesce(text, '')), '[\\s\\x0b]+', ' ', 'g')))
+      AS content_key
+  FROM documents
+), cmap AS (
+  SELECT content_key, MIN(doc_id) AS keep_doc_id
+  FROM keyed WHERE NOT is_batch GROUP BY 1
+), vs AS (
+  SELECT k.doc_id, k.content_key, m.keep_doc_id AS corpus_doc
+  FROM keyed k LEFT JOIN cmap m USING (content_key)
+  WHERE k.is_batch
+), bmin AS (
+  SELECT content_key, MIN(doc_id) AS batch_keep
+  FROM vs WHERE corpus_doc IS NULL GROUP BY 1
+), ex AS (
+  SELECT v.doc_id, v.content_key, v.corpus_doc, b.batch_keep
+  FROM vs v LEFT JOIN bmin b USING (content_key)
+), bs AS (
+  SELECT doc_id FROM ex WHERE corpus_doc IS NULL AND doc_id = batch_keep
+), sig AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), i ->
+      list_min(list_transform(shingles,
+        s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM sh
+  WHERE doc_id IN (SELECT doc_id FROM bs)
+     OR doc_id IN (SELECT keep_doc_id FROM cmap)
+), banded AS (
+  SELECT doc_id, sig, b,
+    md5(array_to_string(sig[b*4+1 : (b+1)*4], ',')) AS bucket
+  FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS b)
+), hits AS (
+  SELECT bb.doc_id AS bid, MIN(cb.doc_id) AS near_corpus_doc
+  FROM banded bb JOIN banded cb ON bb.b = cb.b AND bb.bucket = cb.bucket
+  WHERE bb.doc_id IN (SELECT doc_id FROM bs)
+    AND cb.doc_id IN (SELECT keep_doc_id FROM cmap)
+    AND CAST(len(list_filter(range(1, 17), i -> bb.sig[i] = cb.sig[i])) AS DOUBLE) / 16
+        >= 0.5
+  GROUP BY 1
+), still AS (
+  SELECT doc_id FROM bs WHERE doc_id NOT IN (SELECT bid FROM hits)
+), spairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM banded a JOIN banded b2
+    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM still)
+    AND b2.doc_id IN (SELECT doc_id FROM still)
+    AND CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b2.sig[i])) AS DOUBLE) / 16
+        >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM spairs
+  UNION
+  SELECT doc_b, doc_a FROM spairs
+), reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM still
+  UNION
+  SELECT e2.a, r.lab FROM edges e2 JOIN reach r ON e2.b = r.id
+), comp AS (
+  SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+), clustered AS (
+  SELECT c.doc_id, c.cluster_id,
+    (row_number() OVER (PARTITION BY c.cluster_id
+       ORDER BY length(d.text) DESC, c.doc_id ASC) = 1) AS near_keep
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+), losers AS (
+  -- dup_of points at the cluster SURVIVOR, not the min-id cluster label
+  SELECT l.doc_id AS bid, s.doc_id AS dup
+  FROM clustered l
+  JOIN clustered s ON l.cluster_id = s.cluster_id AND s.near_keep
+  WHERE NOT l.near_keep
+)
+SELECT e.doc_id, e.content_key,
+  CASE WHEN e.corpus_doc IS NOT NULL THEN 'exact_dup_of_corpus'
+       WHEN e.doc_id <> e.batch_keep THEN 'exact_dup_in_batch'
+       WHEN h.near_corpus_doc IS NOT NULL THEN 'near_dup_of_corpus'
+       WHEN l.dup IS NOT NULL THEN 'near_dup_in_batch'
+       ELSE 'kept' END AS reason,
+  CAST(COALESCE(e.corpus_doc,
+       CASE WHEN e.doc_id <> e.batch_keep THEN e.batch_keep END,
+       h.near_corpus_doc, l.dup, -1) AS BIGINT) AS dup_of,
+  COALESCE(e.corpus_doc IS NULL AND e.doc_id = e.batch_keep
+           AND h.near_corpus_doc IS NULL AND l.dup IS NULL, FALSE) AS keep
+FROM ex e
+LEFT JOIN hits h ON h.bid = e.doc_id
+LEFT JOIN losers l ON l.bid = e.doc_id
+"""
+
+
 _ANN_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
@@ -3037,6 +3184,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_exact_dedup": _ENTITY_DEDUP_SQL,
         "minhash_lsh_md5": _MINHASH_MD5_SQL,
         "corpus_dedup_pipeline": _corpus_dedup_sql(),
+        "incremental_dedup": _incremental_dedup_sql(),
         "simhash_md5": _simhash_md5_sql(),
         "fingerprints_md5": _FINGERPRINTS_MD5_SQL,
         "ann_lsh_md5": _ann_md5_sql(),

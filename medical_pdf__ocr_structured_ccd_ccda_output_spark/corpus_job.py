@@ -193,6 +193,101 @@ def run_corpus_job(spark: SparkSession, documents: DataFrame, output: str,
     return counts
 
 
+def run_incremental_job(spark: SparkSession, batch: DataFrame, output: str,
+                        *, base_run_id: str, inc_run_id: str,
+                        manifest_dir: str | None = None,
+                        broadcast_batch: bool = True,
+                        progress=print) -> dict[str, int]:
+    """Dedup a NEW batch against the index a completed
+    ``run_corpus_job`` materialized at `output`, without re-touching
+    the corpus (see ``corpus_incremental.py`` for the join shapes).
+
+    Reads the dedup parameters (hash family, num_hashes/bands/
+    shingle_n, threshold) from the base run's stage manifest — a batch
+    signed with a different family than the index is meaningless, so
+    they are not CLI-settable here.  Writes
+    ``inc_decisions_{inc_run_id}`` / ``inc_kept_{inc_run_id}`` and
+    APPENDS the kept docs' keys+signatures to ``exact_sigs_inc`` so
+    the next incremental run dedups against them too; the manifest
+    stage ``incremental/{inc_run_id}`` (recorded under the base
+    run_id) makes re-running the same batch id refuse instead of
+    double-appending."""
+    from . import corpus_incremental as ci
+
+    if manifest_dir is None:
+        if tio.is_iceberg_location(output):
+            raise ValueError(
+                "--output is an Iceberg catalog prefix; pass an explicit "
+                "filesystem --manifest-dir for the stage manifest"
+            )
+        manifest_dir = os.path.join(output, "_manifest")
+    manifest = StageManifest(spark, manifest_dir, base_run_id)
+    params = manifest.params()
+    done = manifest.completed()
+    if "survivors" not in done:
+        raise ValueError(
+            f"base run {base_run_id!r} has not completed (stages done: "
+            f"{sorted(done)}); finish it before running incrementals"
+        )
+    stage = f"incremental/{inc_run_id}"
+    if stage in done:
+        raise ValueError(
+            f"incremental batch {inc_run_id!r} was already applied to "
+            f"run {base_run_id!r}; re-applying would double-append its "
+            f"signatures to the index. Use a new --inc-run-id."
+        )
+
+    shards = int(params["shards"])
+    index = _read_shards(spark, output, "exact_sigs", shards)
+    from pyspark.errors import AnalysisException
+
+    try:
+        index = index.unionByName(
+            tio.read_table(spark, output, "exact_sigs_inc")
+        )
+    except AnalysisException:
+        pass  # first incremental run: no appended table yet
+    res = ci.incremental_dedup(
+        batch,
+        corpus_keys=index.select("content_key", "keep_doc_id"),
+        corpus_sigs=index.select(
+            F.col("keep_doc_id").alias("doc_id"), "signature"
+        ),
+        num_hashes=int(params["num_hashes"]),
+        bands=int(params["bands"]),
+        shingle_n=int(params["shingle_n"]),
+        jaccard_threshold=float(params["jaccard_threshold"]),
+        hash_fn=params["hash_fn"],
+        broadcast_batch=broadcast_batch,
+    )
+    tio.write_table(res.decisions, output, f"inc_decisions_{inc_run_id}",
+                    "overwrite")
+    decisions = tio.read_table(spark, output, f"inc_decisions_{inc_run_id}")
+    tio.write_table(res.survivors, output, f"inc_kept_{inc_run_id}",
+                    "overwrite")
+    # index append: same schema as exact_sigs (dup_count = this batch's
+    # exact fan-in so index stats stay meaningful)
+    fan_in = decisions.filter(
+        F.col("reason") == ci.REASON_EXACT_BATCH
+    ).groupBy(F.col("dup_of").alias("keep_doc_id")).count()
+    appended = (
+        res.new_sigs.withColumnRenamed("doc_id", "keep_doc_id")
+        .join(res.new_keys, "keep_doc_id")
+        .join(fan_in, "keep_doc_id", "left")
+        .select(
+            "keep_doc_id", "text_len",
+            (F.coalesce("count", F.lit(0)) + 1).alias("dup_count"),
+            "content_key", "signature",
+        )
+    )
+    tio.write_table(appended, output, "exact_sigs_inc", "append")
+    n_kept = tio.read_table(spark, output, f"inc_kept_{inc_run_id}").count()
+    manifest.mark_done(stage, n_kept)
+    progress(f"[{stage}] {n_kept} of {decisions.count()} batch docs kept, "
+             f"keys+signatures appended to index")
+    return {stage: n_kept}
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="documents table dir/prefix")
@@ -210,10 +305,29 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--jaccard-threshold", type=float, default=0.7)
     p.add_argument("--hash-fn", choices=["xxhash64", "md5"],
                    default="xxhash64")
+    p.add_argument("--incremental", action="store_true",
+                   help="dedup --input (a NEW batch) against the index "
+                        "at --output built by a completed base run; "
+                        "dedup params come from the base run's manifest")
+    p.add_argument("--inc-run-id", default=None,
+                   help="unique id for this incremental batch "
+                        "(required with --incremental)")
+    p.add_argument("--no-broadcast-batch", action="store_true",
+                   help="incremental: don't broadcast-hint the batch "
+                        "side of the corpus probes")
     args = p.parse_args(argv)
 
     spark = get_spark("corpus_dedup_job")
     documents = tio.read_table(spark, args.input, "documents")
+    if args.incremental:
+        if not args.inc_run_id:
+            raise SystemExit("--incremental requires --inc-run-id")
+        run_incremental_job(
+            spark, documents, args.output, base_run_id=args.run_id,
+            inc_run_id=args.inc_run_id, manifest_dir=args.manifest_dir,
+            broadcast_batch=not args.no_broadcast_batch,
+        )
+        return
     run_corpus_job(
         spark, documents, args.output, run_id=args.run_id,
         shards=args.shards, resume=args.resume,

@@ -144,11 +144,13 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
     )
 
 
-def _banded_candidates(sigs: DataFrame, num_hashes: int, bands: int,
-                       hash_fn: str) -> DataFrame:
-    """(doc_a, doc_b, sig_a, sig_b) candidate pairs from LSH banding of
-    minhash signatures: bucket key = (band_id, hash-of-band-slice), the
-    self-join is an equi-join on uniformly distributed keys."""
+def banded_signatures(sigs: DataFrame, num_hashes: int, bands: int,
+                      hash_fn: str) -> DataFrame:
+    """LSH band table ``(doc_id, signature, band, bucket)`` — one row
+    per (doc, band), bucket key = hash-of-band-slice.  Shared by the
+    batch self-join (``_banded_candidates``) and the incremental path
+    (``corpus_incremental``), which joins a small new-batch band table
+    against a huge corpus band table on the same uniform keys."""
     if num_hashes % bands != 0:
         # trailing components would be silently excluded from every
         # band, quietly weakening the collision probability the
@@ -172,7 +174,7 @@ def _banded_candidates(sigs: DataFrame, num_hashes: int, bands: int,
             )
         )
 
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", "signature",
         F.explode(
             F.array(*[
@@ -182,6 +184,26 @@ def _banded_candidates(sigs: DataFrame, num_hashes: int, bands: int,
         ).alias("bb"),
     ).select("doc_id", "signature", "bb.band", "bb.bucket")
 
+
+def est_jaccard_expr(sig_a, sig_b, num_hashes: int):
+    """Estimated Jaccard = fraction of matching minhash components."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+
+
+def _banded_candidates(sigs: DataFrame, num_hashes: int, bands: int,
+                       hash_fn: str) -> DataFrame:
+    """(doc_a, doc_b, sig_a, sig_b) candidate pairs from LSH banding of
+    minhash signatures: bucket key = (band_id, hash-of-band-slice), the
+    self-join is an equi-join on uniformly distributed keys."""
+    banded = banded_signatures(sigs, num_hashes, bands, hash_fn)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -210,15 +232,7 @@ def lsh_pairs_from_signatures(sigs: DataFrame, num_hashes: int = 32,
     content digest and feeds them here, so the expensive shingle +
     minhash scan is never repeated across pipeline stages or resumes."""
     cand = _banded_candidates(sigs, num_hashes, bands, hash_fn)
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        ).cast("double")
-        / F.lit(num_hashes)
-    )
+    est = est_jaccard_expr(F.col("sig_a"), F.col("sig_b"), num_hashes)
     return (
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
