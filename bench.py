@@ -167,8 +167,9 @@ def main():
         "ccd_xml_entities", "ngram_jaccard_banded",
         # round-3 operators
         "human_doc", "media_features_wav", "near_dup_clusters",
-        # round-4: the staged corpus-dedup DAG (production xxhash64 tier)
-        "corpus_dedup_pipeline_prod",
+        # round-4: the staged corpus-dedup DAG + the incremental
+        # batch-vs-index path (production xxhash64 tiers)
+        "corpus_dedup_pipeline_prod", "incremental_dedup_prod",
     ]:
         df = qs[name](spark, SF_DIR)
         _materialize(df)

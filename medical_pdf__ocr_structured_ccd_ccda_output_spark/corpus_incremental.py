@@ -99,7 +99,12 @@ def incremental_dedup(
         corpus_keys.select("content_key",
                            F.col("keep_doc_id").alias("_corpus_doc"))
         .join(maybe_bc(keyed.select("doc_id", "content_key")), "content_key")
-        .select("doc_id", "_corpus_doc")
+        # min-agg instead of raw join output: duplicate index rows for
+        # a content (e.g. a replayed stream epoch's double-append) must
+        # not duplicate batch decision rows, and attribution stays
+        # deterministic
+        .groupBy("doc_id")
+        .agg(F.min("_corpus_doc").alias("_corpus_doc"))
     )
     vs_corpus = keyed.join(maybe_bc(corpus_hit), "doc_id", "left")
 

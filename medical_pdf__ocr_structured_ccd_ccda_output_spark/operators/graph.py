@@ -52,6 +52,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 30,
     use_reliable_checkpoint: bool = False,
+    target_rows_per_partition: int = 1_000_000,
 ) -> DataFrame:
     """Label every vertex with the minimum vertex id reachable from it.
 
@@ -64,6 +65,21 @@ def connected_components(
     Raises ``RuntimeError`` if ``max_iter`` iterations do not reach a
     fixpoint (never observed on near-dup graphs; the bound exists so a
     bug surfaces as an error, not a silently-partial clustering).
+
+    **Partitioning is sized to the GRAPH, not the session.**  The label
+    table is (id, label) longs — orders of magnitude smaller than the
+    corpus the session's ``spark.sql.shuffle.partitions`` was sized
+    for — and each iteration runs three shuffles of it.  Left at the
+    session setting, a 380 k-row closure shuffles into 128 partitions
+    of ~3 k rows: pure task-scheduling overhead that made the loop run
+    2.4× SLOWER on 32 cores than on 8 (measured, BENCH.md round 4);
+    ``localCheckpoint`` materializes eagerly, so AQE's post-shuffle
+    coalescing cannot rescue it.  The loop therefore scopes
+    ``spark.sql.shuffle.partitions`` to
+    ``max(rows, edges) / target_rows_per_partition`` (≥1, capped at
+    the session value) and restores the session setting after.  At
+    10^12 docs the same formula yields thousands of partitions — it
+    scales up as well as down.
     """
 
     def _ckpt(df: DataFrame) -> DataFrame:
@@ -71,9 +87,13 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    labels = vertices.select(
+    # checkpoint the initial labels too: `vertices` usually sits on top
+    # of the full corpus DAG (digest scan + exact-map join), and an
+    # unmaterialized label table would recompute that entire upstream
+    # inside iteration 1's join
+    labels = _ckpt(vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    )
+    ))
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
@@ -81,6 +101,20 @@ def connected_components(
     )
     sym = _ckpt(sym)
 
+    spark = vertices.sparkSession
+    n_rows = max(labels.count(), sym.count())  # both checkpointed: cheap
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = max(1, min(session_parts,
+                         -(-n_rows // target_rows_per_partition)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        return _cc_loop(labels, sym, max_iter, _ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+
+
+def _cc_loop(labels: DataFrame, sym: DataFrame, max_iter: int,
+             _ckpt) -> DataFrame:
     for _ in range(max_iter):
         # hash-min step: label(x) <- min(label(x), min over neighbors)
         neigh = (

@@ -115,6 +115,38 @@ def test_broadcast_off_same_decisions(spark):
     assert outs[0] == outs[1]
 
 
+def test_zero_corpus_shuffle_plan(spark, sf_dir):
+    """The scale contract of the incremental path: with
+    broadcast_batch=True every corpus probe is a BroadcastHashJoin
+    (batch side built, corpus side streamed), so NO shuffle exchange
+    partitions corpus-derived rows — the only hash exchanges operate
+    on batch-sized data (batch groupBys + the in-batch closure)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # corpus = the sf docs; batch = 10 crafted docs
+    keyed = cp.content_keyed(docs)
+    cmap = cp.exact_map_of(keyed)
+    reps = keyed.join(
+        cmap.select(F.col("keep_doc_id").alias("doc_id")), "doc_id"
+    )
+    csigs = corpus.minhash_signatures(
+        reps.select("doc_id", "text"), 16, 3, "xxhash64"
+    )
+    res = ci.incremental_dedup(
+        _batch(spark), cmap.select("content_key", "keep_doc_id"), csigs,
+        num_hashes=16, bands=4, jaccard_threshold=0.5, hash_fn="xxhash64",
+    )
+    plan = res.decisions._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the two corpus probes must not appear as shuffled joins: every
+    # SortMergeJoin/ShuffledHashJoin key in the plan is a batch-side
+    # column (doc_id of the 10-row batch after closure), never
+    # content_key or (band, bucket) against the corpus
+    import re
+    for m in re.finditer(r"(SortMergeJoin|ShuffledHashJoin) \[([^\]#]+)#", plan):
+        assert m.group(2) in {"doc_id", "_bid", "id", "cluster_id", "_did",
+                              "_cid"}, plan
+
+
 def test_incremental_job_chain(spark, tmp_path):
     """Base job -> incremental batch 1 -> incremental batch 2: params
     come from the base manifest, batch 2 dedups against batch 1's
