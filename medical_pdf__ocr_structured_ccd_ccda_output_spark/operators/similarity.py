@@ -326,6 +326,85 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
     return C
 
 
+def _ivf_params_digest(params: dict) -> str:
+    """Deterministic build-version string for an IVF index artifact:
+    a digest over the sorted build params, so a loaded index can be
+    checked against the params the caller expects."""
+    import hashlib
+
+    canon = ",".join(f"{k}={params[k]}" for k in sorted(params))
+    return hashlib.md5(canon.encode()).hexdigest()[:16]
+
+
+def save_ivf_index(spark, centroids, path: str, params: dict) -> str:
+    """Persist the coarse quantizer as a tiny parquet artifact — one
+    row per centroid plus the build params and a params-digest
+    `build_version` column — so repeated ANN queries (and downstream
+    jobs) share one index build instead of re-running k-means per
+    query.  Returns the build_version written."""
+    version = _ivf_params_digest(params)
+    rows = [
+        (int(i), [float(x) for x in c], json_params(params), version)
+        for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        rows, "centroid_id int, centroid array<double>, "
+              "build_params string, build_version string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return version
+
+
+def json_params(params: dict) -> str:
+    import json
+
+    return json.dumps({k: params[k] for k in sorted(params)})
+
+
+def load_ivf_index(spark, path: str, expect_params: dict | None = None):
+    """Load a persisted IVF index back into the (n_centroids, dim)
+    ndarray `ivf_topk` consumes.  If `expect_params` is given and the
+    artifact was built with different params, raise — silently probing
+    against a quantizer built under other settings corrupts recall the
+    same way resuming a manifest under changed params corrupts a dedup
+    run (same refusal semantics as sources/manifest.py)."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("centroid_id").collect()
+    if not rows:
+        raise ValueError(f"empty IVF index artifact at {path}")
+    version = rows[0]["build_version"]
+    if expect_params is not None and \
+            version != _ivf_params_digest(expect_params):
+        raise ValueError(
+            f"IVF index at {path} was built with params "
+            f"{rows[0]['build_params']} (version {version}), not the "
+            f"requested {json_params(expect_params)} — rebuild the "
+            "index or pass matching params"
+        )
+    return np.vstack([np.asarray(r["centroid"], dtype=np.float64)
+                      for r in rows])
+
+
+def ivf_index_or_build(spark, embeddings: DataFrame, path: str,
+                       n_centroids: int = 16, iters: int = 5,
+                       sample: int = 4096, seed: int = 42,
+                       dim: int = 64):
+    """Amortized index build: load the parquet artifact at `path` if it
+    exists and matches the params, else build it once and persist.
+    The artifact is n_centroids rows — negligible storage; the win is
+    skipping the bounded sample collect + k-means per query."""
+    import os
+
+    params = {"n_centroids": n_centroids, "iters": iters,
+              "sample": sample, "seed": seed, "dim": dim}
+    if os.path.exists(path):
+        return load_ivf_index(spark, path, expect_params=params)
+    C = ivf_centroids(embeddings, n_centroids=n_centroids, iters=iters,
+                      sample=sample, seed=seed, dim=dim)
+    save_ivf_index(spark, C, path, params)
+    return C
+
+
 def _ivf_assign_udf(C, top: int = 1):
     """Arrow-batched nearest-centroid assignment: one distance matrix
     per batch; returns array<int> of the `top` nearest centroid ids."""

@@ -337,6 +337,46 @@ def test_ivf_topk_recall(spark, emb):
     assert full_set == exact_set  # probing every cell == brute force
 
 
+def test_ivf_index_artifact_roundtrip(spark, emb, tmp_path):
+    """Persisted IVF index (parquet artifact with build_version):
+    load == fresh build bit-for-bit; or_build amortizes (second call
+    loads, no rebuild); loading under different params refuses."""
+    import numpy as np
+
+    path = str(tmp_path / "ivf_index.parquet")
+    params = dict(n_centroids=16, iters=5, sample=4096, seed=42, dim=64)
+    C = similarity.ivf_index_or_build(spark, emb, path, **params)
+    assert C.shape == (16, 64)
+    # artifact content: one row per centroid, uniform version column
+    art = spark.read.parquet(path).collect()
+    assert len(art) == 16
+    assert len({r["build_version"] for r in art}) == 1
+    # round-trip identity vs a fresh in-memory build
+    fresh = similarity.ivf_centroids(emb, **params)
+    loaded = similarity.load_ivf_index(spark, path, expect_params=params)
+    assert (loaded == fresh).all()
+    # or_build on the existing artifact loads (identical result) and
+    # must not depend on the embeddings arg anymore
+    again = similarity.ivf_index_or_build(
+        spark, emb.limit(0), path, **params)
+    assert (again == fresh).all()
+    # param drift refuses, same semantics as manifest resume
+    import pytest as _pt
+    with _pt.raises(ValueError, match="built with params"):
+        similarity.load_ivf_index(
+            spark, path, expect_params={**params, "seed": 7})
+    with _pt.raises(ValueError, match="built with params"):
+        similarity.ivf_index_or_build(
+            spark, emb, path, **{**params, "n_centroids": 8})
+    # search through the loaded index == search through the fresh one
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    a = similarity.ivf_topk(emb, queries, loaded, k=5, nprobe=8).collect()
+    b = similarity.ivf_topk(emb, queries, fresh, k=5, nprobe=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 # ---------------------------------------------------------------------------
 # connected-components near-dup clustering (operators/graph.py)
 # ---------------------------------------------------------------------------
