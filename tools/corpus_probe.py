@@ -78,10 +78,60 @@ def build(mult: int) -> str:
     return path
 
 
+def stages(cores: int, mult: int) -> None:
+    """Cumulative per-stage timing of the dedup DAG at one width.
+
+    Each stage's DataFrame is projected to its narrow key/metric
+    columns before the noop write so the measurement is the stage's
+    compute, not serialization of the wide `text` column through the
+    sink (the full-width `keyed` noop measured ~10 s slower than the
+    complete `decisions` DAG for exactly that reason)."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.session import get_spark
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark import corpus_pipeline as cp
+
+    spark = get_spark(f"cstage{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=4 * cores)
+    docs = spark.read.parquet(CORPUS.format(mult=mult))
+    narrow = {
+        "keyed": ["doc_id", "content_key"],
+        "exact_map": None,
+        "signatures": None,
+        "pairs": None,
+        "clusters": None,
+        "decisions": None,
+    }
+
+    def run(stage):
+        res = cp.corpus_dedup(docs, num_hashes=32, bands=8,
+                              jaccard_threshold=0.7, hash_fn="xxhash64")
+        df = getattr(res, stage)
+        cols = narrow[stage]
+        if cols:
+            df = df.select(*cols)
+        df.write.format("noop").mode("overwrite").save()
+
+    out = {"cores": cores, "mult": mult}
+    for s in narrow:
+        run(s)  # warm
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            run(s)
+            times.append(time.time() - t0)
+        out[s] = round(min(times), 2)
+    spark.stop()
+    print(json.dumps(out))
+
+
 def main():
     if sys.argv[1] == "--build":
         mult = int(sys.argv[2]) if len(sys.argv) > 2 else 20
         print(build(mult))
+        return
+    if sys.argv[1] == "--stages":
+        stages(int(sys.argv[2]),
+               int(os.environ.get("CORPUS_PROBE_MULT", "20")))
         return
     cores = int(sys.argv[1])
     mult = int(os.environ.get("CORPUS_PROBE_MULT", "20"))
