@@ -37,10 +37,16 @@ TRANSCRIPTS_CACHE = os.path.join(
 
 
 def _ensure_transcripts(spark):
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.session import tune_scan_splits
     if not os.path.exists(TRANSCRIPTS_CACHE):
         from medical_pdf__ocr_structured_ccd_ccda_output_spark import fixtures
         df = fixtures.transcripts_spark_df(spark, N_CONVS, seed=42)
         df.repartition(32).write.mode("overwrite").parquet(TRANSCRIPTS_CACHE)
+    # size scan splits to the bench corpora: under the default 128MB
+    # splits + 4MB open cost, the sf0.1 cache read as 1-2 partitions and
+    # the compute-heavy map side (Arrow extractor, md5/norm, shingler)
+    # ran that narrow regardless of cores (see session.tune_scan_splits)
+    tune_scan_splits(spark, TRANSCRIPTS_CACHE, SF_DIR)
     return spark.read.parquet(TRANSCRIPTS_CACHE)
 
 

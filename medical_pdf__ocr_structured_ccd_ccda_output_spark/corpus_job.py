@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import corpus_pipeline as cp
 from .operators import corpus, graph
-from .session import get_spark
+from .session import get_spark, tune_scan_splits
 from .sources import io as tio
 from .sources.manifest import StageManifest
 
@@ -318,6 +318,11 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     spark = get_spark("corpus_dedup_job")
+    # local filesystem inputs: size scan splits to the corpus so the
+    # compute-heavy map side (md5/norm digests, shingling) feeds every
+    # core — the default 128MB splits read a small compressed corpus as
+    # a handful of partitions (no-op for non-local URIs / big inputs)
+    tune_scan_splits(spark, args.input)
     documents = tio.read_table(spark, args.input, "documents")
     if args.incremental:
         if not args.inc_run_id:

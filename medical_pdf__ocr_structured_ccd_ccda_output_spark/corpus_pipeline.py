@@ -124,9 +124,18 @@ def corpus_dedup(documents: DataFrame, *, num_hashes: int = 32,
     contract query ``corpus_dedup_pipeline``); ``"xxhash64"`` is the
     production/bench tier, pinned tier-equivalent in
     ``tests/test_corpus_job.py``.
+
+    The narrow exact map is ``localCheckpoint``-ed once: it feeds three
+    branches (the signature rep-filter, the decision lineage, the
+    closure's vertex set), each of which would otherwise re-run the
+    content-digest scan + groupBy.  The closure stage already
+    materializes eagerly (``graph.connected_components`` checkpoints
+    its label/edge tables), so the composition is eager at construction
+    either way; the staged job (``corpus_job.py``) materializes every
+    stage as a table instead and does not pay this.
     """
     keyed = content_keyed(documents)
-    exact_map = exact_map_of(keyed)
+    exact_map = exact_map_of(keyed).localCheckpoint(eager=True)
     reps = keyed.join(
         exact_map.select(F.col("keep_doc_id").alias("doc_id"), "text_len"),
         "doc_id",

@@ -19,7 +19,7 @@ import time
 from pyspark.sql import functions as F
 
 from .pipeline import run_pipeline
-from .session import get_spark
+from .session import get_spark, tune_scan_splits
 from .sources import io as tio
 from .sources.manifest import Manifest
 
@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     spark = get_spark("ccda_extraction_job")
+    # local filesystem inputs: size scan splits to the corpus so the
+    # Arrow extractor (which runs in the scan stage) feeds every core
+    # (no-op for non-local URIs / inputs big enough for 128MB splits)
+    tune_scan_splits(spark, args.input)
     transcripts = tio.read_table(spark, args.input, "transcripts")
     if args.manifest_dir is None:
         if tio.is_iceberg_location(args.output):

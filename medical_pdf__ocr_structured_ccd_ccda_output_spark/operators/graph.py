@@ -94,12 +94,17 @@ def connected_components(
     labels = _ckpt(vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ))
-    sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    # materialize the raw edge list BEFORE symmetrizing: the two union
+    # branches below would otherwise each re-execute the full upstream
+    # pair DAG (LSH banding + candidate self-join — the most expensive
+    # stage of the dedup pipeline, measured ~13 s at x80/local[32],
+    # i.e. a whole extra pipeline run hidden inside one union)
+    ed = _ckpt(edges.select(F.col(src_col).alias("a"),
+                            F.col(dst_col).alias("b")))
+    sym = _ckpt(
+        ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
-    sym = _ckpt(sym)
 
     spark = vertices.sparkSession
     n_rows = max(labels.count(), sym.count())  # both checkpointed: cheap

@@ -35,3 +35,49 @@ def get_spark(app_name: str = "ccda_extraction_engine",
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def tune_scan_splits(spark: SparkSession, *paths: str,
+                     per_core_splits: int = 3) -> int:
+    """Size file-scan splits to the actual input so every core gets map
+    work.
+
+    The engine's map side is compute-heavy (regex normalization, md5
+    digests, Arrow-UDF extraction, shingling) over snappy parquet that
+    compresses web text ~5-10x, so the default 128 MB
+    ``spark.sql.files.maxPartitionBytes`` + 4 MB ``openCostInBytes``
+    packs a small-to-medium corpus into a handful of scan partitions —
+    measured: the 56 MB x80 dedup corpus read as FIVE partitions, so
+    ``md5(norm_text)`` over 400 k docs ran 5-wide no matter how many
+    cores the session had (the round-4 anti-scaling artifact, BENCH.md).
+    At 100 TB the default yields ~800 k splits and is fine; the general
+    rule this helper encodes — split size must be sized to downstream
+    MAP COMPUTE per byte, not scan throughput, with >= 2-3 splits per
+    core slot for stragglers — applies at every scale.
+
+    Sets ``maxPartitionBytes`` to ``total_input_bytes /
+    (per_core_splits * defaultParallelism)`` (floor 256 KB, cap 128 MB)
+    and ``openCostInBytes`` proportionally so tiny-file packing honors
+    the same target.  Local filesystem paths only (size probe walks the
+    directory); non-local URIs are ignored.  Call BEFORE
+    ``spark.read`` — the confs are read at scan planning time.
+    Returns the chosen split size in bytes.
+    """
+    total = 0
+    for p in paths:
+        if not os.path.exists(p):
+            continue
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+            continue
+        for root, _, files in os.walk(p):
+            total += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+    cores = spark.sparkContext.defaultParallelism
+    target = total // max(1, per_core_splits * cores)
+    target = max(256 * 1024, min(128 * 1024 * 1024, target))
+    open_cost = max(16 * 1024, min(4 * 1024 * 1024, target // 8))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
+    return target

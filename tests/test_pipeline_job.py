@@ -114,3 +114,41 @@ def test_io_location_dispatch(tmp_path):
     assert not is_iceberg_location("s3://bucket/prefix")
     assert not is_iceberg_location(str(tmp_path))        # existing dir
     assert is_iceberg_location("lake.db")                # catalog.namespace
+
+
+def test_tune_scan_splits_widens_small_corpus(spark, tmp_path):
+    """Round-4 fix: under the default 128MB maxPartitionBytes + 4MB
+    openCostInBytes, a small many-file compressed corpus packs into a
+    handful of scan partitions, capping the compute-heavy map side
+    (Arrow extractor, md5/norm, shingler) at that width regardless of
+    core count — measured as the corpus-DAG anti-scaling in BENCH.md.
+    tune_scan_splits sizes the split to the actual input."""
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.session import (
+        tune_scan_splits,
+    )
+
+    path = str(tmp_path / "docs.parquet")
+    spark.range(200_000).selectExpr(
+        "id", "repeat(uuid(), 8) AS text"
+    ).repartition(64).write.parquet(path)
+
+    before_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    before_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+        narrow = spark.read.parquet(path).rdd.getNumPartitions()
+
+        target = tune_scan_splits(spark, path)
+        wide = spark.read.parquet(path).rdd.getNumPartitions()
+
+        cores = spark.sparkContext.defaultParallelism
+        assert wide > narrow
+        assert wide >= min(64, cores)  # per-file cap: 64 files
+        assert 256 * 1024 <= target <= 128 * 1024 * 1024
+        # non-existent / non-local paths contribute nothing and the
+        # floor keeps the setting sane
+        assert tune_scan_splits(spark, "s3://bucket/prefix") == 256 * 1024
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", before_open)

@@ -87,11 +87,15 @@ def stages(cores: int, mult: int) -> None:
     sink (the full-width `keyed` noop measured ~10 s slower than the
     complete `decisions` DAG for exactly that reason)."""
     from pyspark.sql import functions as F  # noqa: F401
-    from medical_pdf__ocr_structured_ccd_ccda_output_spark.session import get_spark
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.session import (
+        get_spark,
+        tune_scan_splits,
+    )
     from medical_pdf__ocr_structured_ccd_ccda_output_spark import corpus_pipeline as cp
 
     spark = get_spark(f"cstage{cores}", master=f"local[{cores}]",
                       shuffle_partitions=4 * cores)
+    tune_scan_splits(spark, CORPUS.format(mult=mult))
     docs = spark.read.parquet(CORPUS.format(mult=mult))
     narrow = {
         "keyed": ["doc_id", "content_key"],
@@ -137,11 +141,17 @@ def main():
     mult = int(os.environ.get("CORPUS_PROBE_MULT", "20"))
     path = CORPUS.format(mult=mult)
 
-    from medical_pdf__ocr_structured_ccd_ccda_output_spark.session import get_spark
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.session import (
+        get_spark,
+        tune_scan_splits,
+    )
     from medical_pdf__ocr_structured_ccd_ccda_output_spark import corpus_pipeline as cp
 
     spark = get_spark(f"cprobe{cores}", master=f"local[{cores}]",
                       shuffle_partitions=4 * cores)
+    # see tune_scan_splits: default 128MB splits read this corpus as ~5
+    # partitions, capping the compute-heavy map side at 5-wide
+    tune_scan_splits(spark, path)
     docs = spark.read.parquet(path)
     n = docs.count()
 

@@ -27,12 +27,19 @@ def main():
     corpus = sys.argv[2] if len(sys.argv) > 2 else \
         "/root/repo/.bench_cache/transcripts_sf0.1_x80.parquet"
 
-    from medical_pdf__ocr_structured_ccd_ccda_output_spark.session import get_spark
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.session import (
+        get_spark,
+        tune_scan_splits,
+    )
     from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.extract import extract_turns
     from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import assign_visits
 
     spark = get_spark(f"probe{cores}", master=f"local[{cores}]",
                       shuffle_partitions=4 * cores)
+    # size scan splits to the corpus: the Arrow extractor runs in the
+    # scan stage, and default 128MB splits read the whole x80 corpus as
+    # ~5 partitions — capping map parallelism at 5 regardless of cores
+    tune_scan_splits(spark, corpus)
     t = spark.read.parquet(corpus)
     n = t.count()
 
