@@ -146,9 +146,13 @@ def corpus_dedup(documents: DataFrame, *, num_hashes: int = 32,
     pairs = corpus.lsh_pairs_from_signatures(
         signatures, num_hashes, bands, jaccard_threshold, hash_fn
     )
+    # the closure's vertex set is exactly the exact-dedup survivors, and
+    # the checkpointed exact_map already carries (keep_doc_id, text_len)
+    # — deriving vertices from it (instead of `reps`) saves a full
+    # corpus re-scan (content-digest + join) inside the eager closure
     clusters = graph.near_dup_clusters(
-        reps.select("doc_id", "text_len"), pairs,
-        max_iter=max_iter, len_col="text_len",
+        exact_map.select(F.col("keep_doc_id").alias("doc_id"), "text_len"),
+        pairs, max_iter=max_iter, len_col="text_len",
     )
     decisions = assemble_decisions(keyed, exact_map, clusters)
     survivors = documents.join(

@@ -53,6 +53,7 @@ def connected_components(
     max_iter: int = 30,
     use_reliable_checkpoint: bool = False,
     target_rows_per_partition: int = 1_000_000,
+    min_rows_per_partition: int = 50_000,
 ) -> DataFrame:
     """Label every vertex with the minimum vertex id reachable from it.
 
@@ -80,6 +81,15 @@ def connected_components(
     the session value) and restores the session setting after.  At
     10^12 docs the same formula yields thousands of partitions — it
     scales up as well as down.
+
+    The rows-per-partition target alone under-parallelizes MEDIUM
+    graphs: a 1.6 M-vertex closure would run 2-partition shuffles while
+    30 cores idle — measured as the dominant anti-scaling term of the
+    ×320 dedup probe (8→32-core efficiency 0.31, BENCH.md round 4).  So
+    the partition count is floored at the core count whenever the graph
+    has at least ``min_rows_per_partition`` rows per core — i.e. tasks
+    never shrink below ~50 k rows (where scheduling overhead would
+    dominate), but above that the loop uses every core slot.
     """
 
     def _ckpt(df: DataFrame) -> DataFrame:
@@ -109,8 +119,12 @@ def connected_components(
     spark = vertices.sparkSession
     n_rows = max(labels.count(), sym.count())  # both checkpointed: cheap
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_parts = max(1, min(session_parts,
-                         -(-n_rows // target_rows_per_partition)))
+    cores = spark.sparkContext.defaultParallelism
+    n_parts = max(
+        -(-n_rows // target_rows_per_partition),
+        min(cores, -(-n_rows // min_rows_per_partition)),
+    )
+    n_parts = max(1, min(session_parts, n_parts))
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
         return _cc_loop(labels, sym, max_iter, _ckpt)
