@@ -33,6 +33,20 @@ Scale notes (the whole point of this operator):
   explodes (the classic iterative-Spark failure mode).  On a real
   cluster with unreliable executors, pass ``use_reliable_checkpoint``
   and set ``spark.sparkContext.setCheckpointDir`` to an HDFS/S3 path.
+* **Superseded checkpoints are unpersisted as the loop advances** —
+  iteration k's label table is dead the moment iteration k+1's is
+  materialized, but a (local)checkpoint's blocks otherwise live until
+  the driver GCs the RDD reference (ContextCleaner), which on a long
+  job means every iteration's full label table accumulates in the
+  block store.  Measured here: ×320 probe reps in one JVM grew
+  65.8 → 92.1 s as dead label tables squeezed execution memory
+  (BENCH.md round 4).  At 10^12 vertices that accumulation — O(log d)
+  copies of the label table plus the pre-symmetrization edge list —
+  is the difference between a bounded-memory job and an OOM.  Only
+  provably-dead tables are dropped (lineage is truncated, so an
+  unpersisted checkpoint cannot be recomputed): the previous label
+  table after the next one is eager-materialized, the raw edge list
+  after symmetrization, and the symmetrized list on convergence.
 * The convergence probe (``limit(1).count()`` on changed rows) is one
   tiny driver action per iteration, bounded by the O(log d) iteration
   count — not a per-row driver loop.
@@ -41,6 +55,44 @@ Scale notes (the whole point of this operator):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+class _CkptTracker:
+    """Frees superseded (local)checkpoints by block-store RDD id.
+
+    ``DataFrame.unpersist()`` cannot free checkpoint blocks — they are
+    registered on the plan's internal RDD, not in the catalog cache —
+    so the tracker diffs ``SparkContext.getPersistentRDDs`` around each
+    checkpoint call to learn which block-store entries belong to it,
+    and drops exactly those once the caller declares the table dead.
+    Reliable ``checkpoint()`` stores to the checkpoint dir rather than
+    the block store; ``drop`` is then simply a no-op for its ids.
+    """
+
+    def __init__(self, spark, use_reliable: bool):
+        self._jsc = spark.sparkContext._jsc
+        self._use_reliable = use_reliable
+
+    def _ids(self) -> set[int]:
+        return {
+            int(i)
+            for i in self._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    def ckpt(self, df: DataFrame) -> tuple[DataFrame, set[int]]:
+        before = self._ids()
+        out = (
+            df.checkpoint(eager=True)
+            if self._use_reliable
+            else df.localCheckpoint(eager=True)
+        )
+        return out, self._ids() - before
+
+    def drop(self, ids: set[int]) -> None:
+        jmap = self._jsc.getPersistentRDDs()
+        for rid in ids:
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist(False)
 
 
 def connected_components(
@@ -92,16 +144,14 @@ def connected_components(
     dominate), but above that the loop uses every core slot.
     """
 
-    def _ckpt(df: DataFrame) -> DataFrame:
-        if use_reliable_checkpoint:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    spark = vertices.sparkSession
+    tr = _CkptTracker(spark, use_reliable_checkpoint)
 
     # checkpoint the initial labels too: `vertices` usually sits on top
     # of the full corpus DAG (digest scan + exact-map join), and an
     # unmaterialized label table would recompute that entire upstream
     # inside iteration 1's join
-    labels = _ckpt(vertices.select(
+    labels, label_ids = tr.ckpt(vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ))
     # materialize the raw edge list BEFORE symmetrizing: the two union
@@ -109,14 +159,14 @@ def connected_components(
     # pair DAG (LSH banding + candidate self-join — the most expensive
     # stage of the dedup pipeline, measured ~13 s at x80/local[32],
     # i.e. a whole extra pipeline run hidden inside one union)
-    ed = _ckpt(edges.select(F.col(src_col).alias("a"),
-                            F.col(dst_col).alias("b")))
-    sym = _ckpt(
+    ed, ed_ids = tr.ckpt(edges.select(F.col(src_col).alias("a"),
+                                      F.col(dst_col).alias("b")))
+    sym, sym_ids = tr.ckpt(
         ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
+    tr.drop(ed_ids)  # dead once the symmetrized list is materialized
 
-    spark = vertices.sparkSession
     n_rows = max(labels.count(), sym.count())  # both checkpointed: cheap
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cores = spark.sparkContext.defaultParallelism
@@ -127,13 +177,14 @@ def connected_components(
     n_parts = max(1, min(session_parts, n_parts))
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
-        return _cc_loop(labels, sym, max_iter, _ckpt)
+        return _cc_loop(labels, label_ids, sym, max_iter, tr)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+        tr.drop(sym_ids)  # the returned labels are a self-contained ckpt
 
 
-def _cc_loop(labels: DataFrame, sym: DataFrame, max_iter: int,
-             _ckpt) -> DataFrame:
+def _cc_loop(labels: DataFrame, label_ids: set[int], sym: DataFrame,
+             max_iter: int, tr: _CkptTracker) -> DataFrame:
     for _ in range(max_iter):
         # hash-min step: label(x) <- min(label(x), min over neighbors)
         neigh = (
@@ -168,8 +219,13 @@ def _cc_loop(labels: DataFrame, sym: DataFrame, max_iter: int,
                 | (F.coalesce(F.col("_jlabel"), stepped["label"]) < stepped["label"])
             ).alias("_chg"),
         )
-        jumped = _ckpt(jumped)
+        jumped, new_ids = tr.ckpt(jumped)
         changed = jumped.filter(F.col("_chg")).limit(1).count()
+        # the previous label table is dead now that `jumped` is
+        # eager-materialized; free its block-store entries instead of
+        # letting O(log d) full label tables pile up
+        tr.drop(label_ids)
+        label_ids = new_ids
         labels = jumped.drop("_chg")
         if changed == 0:
             return labels

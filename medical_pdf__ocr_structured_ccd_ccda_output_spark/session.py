@@ -29,6 +29,11 @@ def get_spark(app_name: str = "ccda_extraction_engine",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # ContextCleaner only reclaims dropped cache/checkpoint blocks
+        # after a JVM GC surfaces the dead references; the 30min default
+        # lets repeated iterative jobs (closure loops, bench reps)
+        # accumulate dead block-store entries for the whole interval
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
