@@ -200,10 +200,22 @@ def est_jaccard_expr(sig_a, sig_b, num_hashes: int):
 
 def _banded_candidates(sigs: DataFrame, num_hashes: int, bands: int,
                        hash_fn: str) -> DataFrame:
-    """(doc_a, doc_b, sig_a, sig_b) candidate pairs from LSH banding of
+    """Distinct candidate pairs ``(doc_a, doc_b)`` from LSH banding of
     minhash signatures: bucket key = (band_id, hash-of-band-slice), the
-    self-join is an equi-join on uniformly distributed keys."""
-    banded = banded_signatures(sigs, num_hashes, bands, hash_fn)
+    self-join is an equi-join on uniformly distributed keys.
+
+    The band table entering the self-join is NARROW — (doc_id, band,
+    bucket) only.  Carrying the signature array through the band
+    explode and both join sides multiplies it ``2 × bands`` times
+    through the shuffle (measured at the ×320 probe: ~7.5 GB of the
+    dedup DAG's 4.8 GB-per-side shuffle volume, and the LSH stage was
+    its slowest phase at 37 s/32-core).  Consumers that need the
+    signatures (the est-Jaccard filter) join them back AFTER the
+    cross-band ``dropDuplicates`` — two equi-joins of the small
+    candidate set against the signature table instead of an 8-way
+    signature fan-out."""
+    banded = banded_signatures(sigs, num_hashes, bands, hash_fn) \
+        .select("doc_id", "band", "bucket")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -215,8 +227,6 @@ def _banded_candidates(sigs: DataFrame, num_hashes: int, bands: int,
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -230,11 +240,26 @@ def lsh_pairs_from_signatures(sigs: DataFrame, num_hashes: int = 32,
     signatures ``(doc_id, signature)``.  The staged corpus job
     (``corpus_job.py``) materializes signatures once per distinct
     content digest and feeds them here, so the expensive shingle +
-    minhash scan is never repeated across pipeline stages or resumes."""
+    minhash scan is never repeated across pipeline stages or resumes.
+
+    ``sigs`` now has three consumers (the narrow band table plus the
+    two est-Jaccard join-backs), so it is lazily localCheckpoint-ed:
+    no job runs at construction, the first consumer materializes the
+    blocks, and the block-manager's per-partition locking guarantees
+    the upstream (often a full shingle+minhash scan) computes at most
+    once.  Callers that already pass a materialized table (parquet
+    stage output, an eager checkpoint) pay one cheap re-cache."""
+    sigs = sigs.localCheckpoint(eager=False)
     cand = _banded_candidates(sigs, num_hashes, bands, hash_fn)
     est = est_jaccard_expr(F.col("sig_a"), F.col("sig_b"), num_hashes)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("signature").alias("sig_b"))
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
@@ -388,9 +413,7 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
             .alias("shingles"),
         )
         sigs = minhash_signatures(documents, num_hashes, shingle_n, hash_fn)
-        cand = _banded_candidates(sigs, num_hashes, bands, hash_fn).select(
-            "doc_a", "doc_b"
-        )
+        cand = _banded_candidates(sigs, num_hashes, bands, hash_fn)
         pairs = (
             cand.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
             .join(sh.alias("b"), F.col("doc_b") == F.col("b.doc_id"))

@@ -88,6 +88,22 @@ class _CkptTracker:
         )
         return out, self._ids() - before
 
+    def mark(self, df: DataFrame) -> tuple[DataFrame, set[int]]:
+        """Lazy variant: marks the plan for checkpointing without
+        running a job.  The caller's NEXT full-scan action (e.g. the
+        convergence count) materializes the checkpoint as a side
+        effect — halving the driver actions per loop iteration, which
+        is the dominant cost of small/medium closures.  The RDD is
+        registered persistent at mark time, so the id diff is valid
+        immediately."""
+        before = self._ids()
+        out = (
+            df.checkpoint(eager=False)
+            if self._use_reliable
+            else df.localCheckpoint(eager=False)
+        )
+        return out, self._ids() - before
+
     def drop(self, ids: set[int]) -> None:
         jmap = self._jsc.getPersistentRDDs()
         for rid in ids:
@@ -151,23 +167,27 @@ def connected_components(
     # of the full corpus DAG (digest scan + exact-map join), and an
     # unmaterialized label table would recompute that entire upstream
     # inside iteration 1's join
-    labels, label_ids = tr.ckpt(vertices.select(
+    # the setup tables are lazy-marked: the sizing counts just below
+    # materialize them, so setup costs two driver actions, not four
+    labels, label_ids = tr.mark(vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ))
-    # materialize the raw edge list BEFORE symmetrizing: the two union
-    # branches below would otherwise each re-execute the full upstream
-    # pair DAG (LSH banding + candidate self-join — the most expensive
-    # stage of the dedup pipeline, measured ~13 s at x80/local[32],
-    # i.e. a whole extra pipeline run hidden inside one union)
+    # materialize the raw edge list EAGERLY before symmetrizing: the
+    # two union branches below would otherwise each re-execute the full
+    # upstream pair DAG (LSH banding + candidate self-join — the most
+    # expensive stage of the dedup pipeline, measured ~13 s at
+    # x80/local[32], i.e. a whole extra pipeline run hidden inside one
+    # union; lazy-marking would compute each partition twice inside the
+    # sym job, once per union branch)
     ed, ed_ids = tr.ckpt(edges.select(F.col(src_col).alias("a"),
                                       F.col(dst_col).alias("b")))
-    sym, sym_ids = tr.ckpt(
+    sym, sym_ids = tr.mark(
         ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
-    tr.drop(ed_ids)  # dead once the symmetrized list is materialized
 
-    n_rows = max(labels.count(), sym.count())  # both checkpointed: cheap
+    n_rows = max(labels.count(), sym.count())  # materializes both marks
+    tr.drop(ed_ids)  # dead now that the symmetrized list is materialized
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cores = spark.sparkContext.defaultParallelism
     n_parts = max(
@@ -219,10 +239,15 @@ def _cc_loop(labels: DataFrame, label_ids: set[int], sym: DataFrame,
                 | (F.coalesce(F.col("_jlabel"), stepped["label"]) < stepped["label"])
             ).alias("_chg"),
         )
-        jumped, new_ids = tr.ckpt(jumped)
-        changed = jumped.filter(F.col("_chg")).limit(1).count()
+        # lazy-mark + full count = ONE driver action per iteration: the
+        # count scans every partition, which materializes the
+        # checkpoint as a side effect (an eager ckpt + separate probe
+        # ran two jobs per iteration — pure latency on small/medium
+        # graphs, measured as the closure's non-scaling floor at ×320)
+        jumped, new_ids = tr.mark(jumped)
+        changed = jumped.filter(F.col("_chg")).count()
         # the previous label table is dead now that `jumped` is
-        # eager-materialized; free its block-store entries instead of
+        # materialized; free its block-store entries instead of
         # letting O(log d) full label tables pile up
         tr.drop(label_ids)
         label_ids = new_ids
@@ -258,24 +283,51 @@ def near_dup_clusters(
     boilerplate families), not an unbounded natural key; the heavy
     lifting (transitive closure) happened on uniformly-keyed joins.
 
+    **Only edge-incident vertices enter the closure.**  A document with
+    no candidate pair can only ever be a singleton cluster labelled by
+    itself, so propagating labels for it is pure waste — and in a real
+    web corpus MOST documents have no near-dup candidate, so the label
+    table the loop shuffles and checkpoints O(log d) times would be
+    dominated by rows whose answer is already known.  Measured at the
+    ×320 probe (1.56 M survivors, 154 k pairs): restricting the loop to
+    the ~137 k edge-incident vertices cut the closure phase ~10 s → ~4 s
+    and removed its widest non-scaling term (BENCH.md round 4).
+    Singletons are re-attached as a projection + anti-join — one
+    broadcast-able pass, no window shuffle for them.
+
     ``len_col``: name of a precomputed text-length column on
     ``documents`` — the staged corpus job materializes lengths with the
     signatures so the cluster stage never rescans document text.
     Default (None) computes ``length(text)`` in place.
     """
-    cc = connected_components(
-        documents.select(id_col),
-        pairs.select(src_col, dst_col),
-        id_col=id_col,
-        src_col=src_col,
-        dst_col=dst_col,
-        max_iter=max_iter,
+    # materialize the narrow pair list ONCE: it now feeds three
+    # consumers (the closure's edge checkpoint, the edge-incident
+    # vertex set, and the singleton anti-join), each of which would
+    # otherwise re-execute the full upstream LSH candidate DAG.  The
+    # blocks stay referenced by the returned lazy plan and are
+    # reclaimed by the periodic ContextCleaner GC once the caller's
+    # plan is dropped.
+    pairs = pairs.select(src_col, dst_col).localCheckpoint(eager=True)
+    edge_ids = (
+        pairs.select(F.col(src_col).alias(id_col))
+        .union(pairs.select(F.col(dst_col).alias(id_col)))
+        .distinct()
     )
+    # inner-join against the authoritative vertex set (edges pointing at
+    # unknown docs are ignored, same contract as connected_components)
     length_expr = (
         F.col(len_col) if len_col is not None else F.length("text")
     )
     docs = documents.select(
         F.col(id_col).alias("_did"), length_expr.alias("_len")
+    )
+    cc = connected_components(
+        edge_ids.join(documents.select(id_col), id_col),
+        pairs,
+        id_col=id_col,
+        src_col=src_col,
+        dst_col=dst_col,
+        max_iter=max_iter,
     )
     labelled = cc.join(docs, cc["id"] == docs["_did"]).select(
         F.col("id").alias(id_col),
@@ -286,8 +338,19 @@ def near_dup_clusters(
     rank = Window.partitionBy("cluster_id").orderBy(
         F.col("_len").desc(), F.col(id_col).asc()
     )
-    return (
+    clustered = (
         labelled.withColumn("cluster_size", F.count("*").over(w))
         .withColumn("keep", F.row_number().over(rank) == F.lit(1))
         .drop("_len")
     )
+    singles = (
+        documents.select(id_col)
+        .join(edge_ids, id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.lit(True).alias("keep"),
+        )
+    )
+    return clustered.unionByName(singles)

@@ -190,7 +190,7 @@ def test_decisions_plan_shuffle_budget(spark, sf_dir):
     assert n_shuffle <= 10, plan
     import re
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
-    assert keys <= {"doc_id", "content_key", "cluster_id",
+    assert keys <= {"doc_id", "keep_doc_id", "content_key", "cluster_id",
                     "_cid", "_did", "id", "band", "bucket"}, keys
 
 
