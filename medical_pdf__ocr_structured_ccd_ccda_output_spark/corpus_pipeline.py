@@ -58,17 +58,22 @@ def content_keyed(documents: DataFrame) -> DataFrame:
     )
 
 
-def exact_map_of(keyed: DataFrame) -> DataFrame:
+def exact_map_of(keyed: DataFrame, len_col: str | None = None) -> DataFrame:
     """One row per distinct content: canonical doc (min doc_id), its
     raw-text length (for survivor ranking downstream — raw lengths can
     differ within a group since the digest normalizes case/whitespace),
     and the duplicate count.  min(struct(doc_id, len)) rides the same
-    map-side-combined groupBy as the count."""
+    map-side-combined groupBy as the count.
+
+    ``len_col``: precomputed raw-length column (the composed DAG passes
+    a slim checkpointed projection so the wide text column never enters
+    this aggregation); default computes ``length(text)`` in place."""
+    length_expr = F.col(len_col) if len_col else F.length("text")
     return (
         keyed.groupBy("content_key")
         .agg(
             F.min(
-                F.struct(F.col("doc_id"), F.length("text").alias("l"))
+                F.struct(F.col("doc_id"), length_expr.alias("l"))
             ).alias("_k"),
             F.count("*").alias("dup_count"),
         )
@@ -135,7 +140,17 @@ def corpus_dedup(documents: DataFrame, *, num_hashes: int = 32,
     stage as a table instead and does not pay this.
     """
     keyed = content_keyed(documents)
-    exact_map = exact_map_of(keyed).localCheckpoint(eager=True)
+    # slim lineage projection, lazily checkpointed: the normalize+digest
+    # scan is the DAG's single most repeated stage (it feeds the exact
+    # map, the rep join, AND the per-doc decision lineage — measured as
+    # two duplicate ~150 executor-second stages per run at ×320 before
+    # this).  The eager exact_map materialization right below computes
+    # it once; every later consumer reads the 3-narrow-column blocks.
+    keyed_slim = keyed.select(
+        "doc_id", "content_key", F.length("text").alias("_tl")
+    ).localCheckpoint(eager=False)
+    exact_map = exact_map_of(keyed_slim, len_col="_tl") \
+        .localCheckpoint(eager=True)
     reps = keyed.join(
         exact_map.select(F.col("keep_doc_id").alias("doc_id"), "text_len"),
         "doc_id",
@@ -154,7 +169,7 @@ def corpus_dedup(documents: DataFrame, *, num_hashes: int = 32,
         exact_map.select(F.col("keep_doc_id").alias("doc_id"), "text_len"),
         pairs, max_iter=max_iter, len_col="text_len",
     )
-    decisions = assemble_decisions(keyed, exact_map, clusters)
+    decisions = assemble_decisions(keyed_slim, exact_map, clusters)
     survivors = documents.join(
         decisions.filter("keep").select("doc_id"), "doc_id", "left_semi"
     )
