@@ -102,13 +102,25 @@ def run_corpus_job(spark: SparkSession, documents: DataFrame, output: str,
             _shard_filter(documents, shard, shards)
             if shards > 1 else documents
         )
+        # the normalize+digest scan runs exactly ONCE per shard — in the
+        # doc_keys write.  Every later consumer (exact aggregation, rep
+        # filter, stage-4 lineage) reads the materialized narrow table
+        # back instead of re-executing the digest expression (measured
+        # on the composed DAG as duplicate ~150 executor-second stages
+        # before the same fix landed in corpus_pipeline)
         keyed = cp.content_keyed(part)
         tio.write_table(
-            keyed.select("doc_id", "content_key"),
+            keyed.select("doc_id", "content_key",
+                         F.length("text").alias("text_len")),
             output, f"doc_keys_shard{shard}", "overwrite",
         )
-        exact_map = cp.exact_map_of(keyed)
-        reps = keyed.join(
+        keys = tio.read_table(spark, output, f"doc_keys_shard{shard}")
+        # lazy ckpt: exact_map feeds both the rep filter and the final
+        # exact_sigs join inside one write action; the block-manager
+        # shares the single materialization between them
+        exact_map = cp.exact_map_of(keys, len_col="text_len") \
+            .localCheckpoint(eager=False)
+        reps = part.join(
             exact_map.select(F.col("keep_doc_id").alias("doc_id")), "doc_id"
         )
         sigs = corpus.minhash_signatures(
