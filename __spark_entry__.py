@@ -97,10 +97,10 @@ _QUERY_ORDER = [
     "near_dup_clusters", "section_headers", "section_spans",
     "uncertain_tokens", "document_rollup", "stage_metrics",
     "review_reasons", "visit_sessionize", "combined_text",
-    "numbered_tokens", "excerpt_join", "dedup_audit_rollup",
+    "minhash_lsh_md5", "excerpt_join", "dedup_audit_rollup",
     "contains_code_lookup", "variant_lookup",
     # corpus / ANN (oracled tiers + md5 twins)
-    "exact_dedup", "ngram_jaccard", "quality_scores", "language_id",
+    "streaming_dedup", "ngram_jaccard", "quality_scores", "language_id",
     "token_counts", "incremental_dedup", "ann_ivf_oracle", "emb_near_dups",
     "corpus_dedup_pipeline", "simhash_md5", "fingerprints_md5",
     "ann_lsh_md5",
@@ -126,9 +126,21 @@ _QUERY_ORDER = [
     # ann_bruteforce and the still-scored ann_ivf_oracle share the
     # IDENTICAL oracle SQL and produce identical values by construction
     # (probe-all IVF ≡ brute force, pinned in test_ivf_topk_recall),
-    # so two scored rows carried one piece of evidence.)
-    "normalize", "media_features_docs", "minhash_lsh_md5",
-    "ann_bruteforce",
+    # so two scored rows carried one piece of evidence.
+    # Round-5 rotation per VERDICT.md round-4 items 2 and 6:
+    # minhash_lsh_md5 moved BACK into the window (the LSH pair
+    # generator is the most-used corpus operator and deserves its own
+    # hard driver row), taking numbered_tokens' slot (F5 is a two-line
+    # format_string whose semantics ride inside the driver-green
+    # human_doc/combined_text compositions).  streaming_dedup — the
+    # foreachBatch ingest-dedup sink replayed over two epochs, oracled
+    # end-to-end against a two-epoch DuckDB replay — took exact_dedup's
+    # slot: the exact digest-groupBy IS stage 1 of THREE still-scored
+    # composition oracles (corpus_dedup_pipeline, incremental_dedup,
+    # streaming_dedup), so its dedicated row was the window's most
+    # redundant evidence.  Both rotated-out queries stay oracled below.)
+    "normalize", "media_features_docs", "ann_bruteforce",
+    "numbered_tokens", "exact_dedup",
     "boundary_flags", "extract_date", "mark_unclear", "parse_names",
     "sanitize_names",
     "region_revenue", "topk_per_group",
@@ -475,6 +487,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         oracled md5 twin pinned in tests/test_corpus_incremental.py)."""
         return _incremental(spark, sf, 32, 8, "xxhash64")
     q["incremental_dedup_prod"] = q_incremental_dedup_prod
+
+    def q_streaming_dedup(spark, sf):
+        """Streaming ingest dedup END-TO-END through the foreachBatch
+        sink (streaming/dedup_stream.py make_dedup_sink), DuckDB-oracled:
+        two replayed micro-batches — epoch 0 bootstraps the index from
+        empty over the doc_id % 7 != 0 docs (in-batch exact + near
+        dedup), epoch 1 admits the doc_id % 7 == 0 docs against the
+        index epoch 0 appended (exact/near vs corpus, then in-batch).
+        Returns the accumulated decisions table with epoch lineage; the
+        oracle replays the same two-epoch sequence in SQL (the epoch-1
+        index is exactly epoch 0's kept keys+signatures).  md5/16/4
+        tier at threshold 0.5, same as the incremental_dedup oracle."""
+        import tempfile
+
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.streaming.dedup_stream import (
+            make_dedup_sink,
+        )
+
+        base = tempfile.mkdtemp(prefix="stream_dedup_gate_")
+        sink = make_dedup_sink(
+            f"{base}/index", f"{base}/out", num_hashes=16, bands=4,
+            shingle_n=3, jaccard_threshold=0.5, hash_fn="md5",
+        )
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        sink(docs.filter(F.col("doc_id") % 7 != 0), 0)
+        sink(docs.filter(F.col("doc_id") % 7 == 0), 1)
+        dec = spark.read.parquet(f"{base}/out/decisions.parquet")
+        return dec.select(
+            "doc_id", "content_key", "reason",
+            F.col("dup_of").cast("long").alias("dup_of"), "keep",
+            F.col("epoch_id").cast("long").alias("epoch_id"),
+        )
+    q["streaming_dedup"] = q_streaming_dedup
 
     def q_quality(spark, sf):
         return corpus.quality_scores(_read(spark, sf, "documents"), round_to=None)
@@ -2170,6 +2215,168 @@ LEFT JOIN losers l ON l.bid = e.doc_id
 """
 
 
+def _streaming_dedup_sql() -> str:
+    """Oracle for the streaming ingest-dedup sink: replays the SAME
+    two-epoch sequence the Spark query drives through make_dedup_sink.
+    Epoch 0 (doc_id % 7 != 0) runs against an EMPTY index — in-batch
+    exact keep = min doc_id per content, then in-batch near closure
+    over the exact reps (longest text then min doc_id survives).  The
+    index handed to epoch 1 is exactly epoch 0's kept keys+signatures
+    (what the sink appends).  Epoch 1 (doc_id % 7 == 0) then follows
+    the full incremental reason precedence: exact-vs-corpus,
+    exact-in-batch, near-vs-corpus (min matching index doc),
+    near-in-batch closure.  md5 tier, 16 hashes / 4 bands / 3-shingles
+    / threshold 0.5 — identical parameters to _incremental_dedup_sql."""
+    return f"""
+WITH RECURSIVE {_WORDS_CTE},
+{_shingle_cte(3)},
+keyed AS (
+  SELECT doc_id, doc_id % 7 = 0 AS is_b1,
+    md5(trim(regexp_replace(lower(coalesce(text, '')), '[\\s\\x0b]+', ' ', 'g')))
+      AS content_key
+  FROM documents
+), e0 AS (
+  SELECT doc_id, content_key FROM keyed WHERE NOT is_b1
+), e0min AS (
+  SELECT content_key, MIN(doc_id) AS keep0 FROM e0 GROUP BY 1
+), e0x AS (
+  SELECT e.doc_id, e.content_key, m.keep0
+  FROM e0 e JOIN e0min m USING (content_key)
+), sig0 AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), i ->
+      list_min(list_transform(shingles,
+        s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM sh
+  WHERE doc_id IN (SELECT doc_id FROM e0x WHERE doc_id = keep0)
+), band0 AS (
+  SELECT doc_id, sig, b,
+    md5(array_to_string(sig[b*4+1 : (b+1)*4], ',')) AS bucket
+  FROM sig0, LATERAL (SELECT unnest(range(0, 4)) AS b)
+), p0 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM band0 a JOIN band0 b2
+    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+  WHERE CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b2.sig[i])) AS DOUBLE) / 16
+        >= 0.5
+), edges0 AS (
+  SELECT doc_a AS a, doc_b AS b FROM p0
+  UNION
+  SELECT doc_b, doc_a FROM p0
+), reach0(id, lab) AS (
+  SELECT doc_id, doc_id FROM sig0
+  UNION
+  SELECT e2.a, r.lab FROM edges0 e2 JOIN reach0 r ON e2.b = r.id
+), comp0 AS (
+  SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach0 GROUP BY id
+), clus0 AS (
+  SELECT c.doc_id, c.cluster_id,
+    (row_number() OVER (PARTITION BY c.cluster_id
+       ORDER BY length(d.text) DESC, c.doc_id ASC) = 1) AS near_keep
+  FROM comp0 c JOIN documents d ON c.doc_id = d.doc_id
+), los0 AS (
+  SELECT l.doc_id AS bid, s.doc_id AS dup
+  FROM clus0 l
+  JOIN clus0 s ON l.cluster_id = s.cluster_id AND s.near_keep
+  WHERE NOT l.near_keep
+), dec0 AS (
+  SELECT x.doc_id, x.content_key,
+    CASE WHEN x.doc_id <> x.keep0 THEN 'exact_dup_in_batch'
+         WHEN l.dup IS NOT NULL THEN 'near_dup_in_batch'
+         ELSE 'kept' END AS reason,
+    CAST(COALESCE(CASE WHEN x.doc_id <> x.keep0 THEN x.keep0 END,
+                  l.dup, -1) AS BIGINT) AS dup_of
+  FROM e0x x LEFT JOIN los0 l ON x.doc_id = l.bid
+), idx AS (
+  SELECT content_key, doc_id AS keep_doc_id FROM dec0 WHERE reason = 'kept'
+), vs AS (
+  SELECT k.doc_id, k.content_key, m.keep_doc_id AS corpus_doc
+  FROM keyed k LEFT JOIN idx m USING (content_key)
+  WHERE k.is_b1
+), bmin AS (
+  SELECT content_key, MIN(doc_id) AS batch_keep
+  FROM vs WHERE corpus_doc IS NULL GROUP BY 1
+), ex AS (
+  SELECT v.doc_id, v.content_key, v.corpus_doc, b.batch_keep
+  FROM vs v LEFT JOIN bmin b USING (content_key)
+), bs AS (
+  SELECT doc_id FROM ex WHERE corpus_doc IS NULL AND doc_id = batch_keep
+), sig1 AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), i ->
+      list_min(list_transform(shingles,
+        s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM sh
+  WHERE doc_id IN (SELECT doc_id FROM bs)
+), bandB AS (
+  SELECT doc_id, sig, b,
+    md5(array_to_string(sig[b*4+1 : (b+1)*4], ',')) AS bucket
+  FROM sig1, LATERAL (SELECT unnest(range(0, 4)) AS b)
+), bandI AS (
+  SELECT doc_id, sig, b,
+    md5(array_to_string(sig[b*4+1 : (b+1)*4], ',')) AS bucket
+  FROM sig0, LATERAL (SELECT unnest(range(0, 4)) AS b)
+  WHERE doc_id IN (SELECT keep_doc_id FROM idx)
+), hits AS (
+  SELECT bb.doc_id AS bid, MIN(cb.doc_id) AS near_corpus_doc
+  FROM bandB bb JOIN bandI cb ON bb.b = cb.b AND bb.bucket = cb.bucket
+  WHERE CAST(len(list_filter(range(1, 17), i -> bb.sig[i] = cb.sig[i])) AS DOUBLE) / 16
+        >= 0.5
+  GROUP BY 1
+), still AS (
+  SELECT doc_id FROM bs WHERE doc_id NOT IN (SELECT bid FROM hits)
+), spairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bandB a JOIN bandB b2
+    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM still)
+    AND b2.doc_id IN (SELECT doc_id FROM still)
+    AND CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b2.sig[i])) AS DOUBLE) / 16
+        >= 0.5
+), edges1 AS (
+  SELECT doc_a AS a, doc_b AS b FROM spairs
+  UNION
+  SELECT doc_b, doc_a FROM spairs
+), reach1(id, lab) AS (
+  SELECT doc_id, doc_id FROM still
+  UNION
+  SELECT e2.a, r.lab FROM edges1 e2 JOIN reach1 r ON e2.b = r.id
+), comp1 AS (
+  SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach1 GROUP BY id
+), clus1 AS (
+  SELECT c.doc_id, c.cluster_id,
+    (row_number() OVER (PARTITION BY c.cluster_id
+       ORDER BY length(d.text) DESC, c.doc_id ASC) = 1) AS near_keep
+  FROM comp1 c JOIN documents d ON c.doc_id = d.doc_id
+), los1 AS (
+  SELECT l.doc_id AS bid, s.doc_id AS dup
+  FROM clus1 l
+  JOIN clus1 s ON l.cluster_id = s.cluster_id AND s.near_keep
+  WHERE NOT l.near_keep
+), dec1 AS (
+  SELECT e.doc_id, e.content_key,
+    CASE WHEN e.corpus_doc IS NOT NULL THEN 'exact_dup_of_corpus'
+         WHEN e.doc_id <> e.batch_keep THEN 'exact_dup_in_batch'
+         WHEN h.near_corpus_doc IS NOT NULL THEN 'near_dup_of_corpus'
+         WHEN l.dup IS NOT NULL THEN 'near_dup_in_batch'
+         ELSE 'kept' END AS reason,
+    CAST(COALESCE(e.corpus_doc,
+         CASE WHEN e.doc_id <> e.batch_keep THEN e.batch_keep END,
+         h.near_corpus_doc, l.dup, -1) AS BIGINT) AS dup_of
+  FROM ex e
+  LEFT JOIN hits h ON h.bid = e.doc_id
+  LEFT JOIN los1 l ON l.bid = e.doc_id
+)
+SELECT doc_id, content_key, reason, dup_of, reason = 'kept' AS keep,
+  CAST(0 AS BIGINT) AS epoch_id
+FROM dec0
+UNION ALL
+SELECT doc_id, content_key, reason, dup_of, reason = 'kept' AS keep,
+  CAST(1 AS BIGINT) AS epoch_id
+FROM dec1
+"""
+
+
 _ANN_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5
@@ -3205,6 +3412,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_md5": _MINHASH_MD5_SQL,
         "corpus_dedup_pipeline": _corpus_dedup_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
+        "streaming_dedup": _streaming_dedup_sql(),
         "simhash_md5": _simhash_md5_sql(),
         "fingerprints_md5": _FINGERPRINTS_MD5_SQL,
         "ann_lsh_md5": _ann_md5_sql(),

@@ -142,9 +142,15 @@ def main():
     # available-core ratio + rep spread; on a dirty window, sleep and
     # re-measure (min across attempts — contention only inflates).
     n_reps = 5  # shared vCPUs are noisy; min-of-5 damps co-tenant spikes
+    # Round-4 postmortem: a window that skimmed the old limits (spread
+    # 1.376 vs 1.4) understated the headline by a third vs the same
+    # code minutes later.  The gate is therefore tighter (spread <=
+    # 1.2, more retries), and the headline is the min over ALL
+    # attempts' reps — a dirty window can only fail the gate, never
+    # slow the recorded number below the best rep actually observed.
     attempts = []
     dt = None
-    for attempt in range(3):
+    for attempt in range(5):
         probe = _contention_probe(CPUS)
         dts = [_timed(_extraction_job, spark, transcripts)[1]
                for _ in range(n_reps)]
@@ -153,7 +159,7 @@ def main():
                          "spread": round(spread, 3)})
         dt = min(dts) if dt is None else min(dt, min(dts))
         ratio = probe["avail_core_ratio"]
-        clean_window = (ratio is None or ratio >= 0.75) and spread <= 1.4
+        clean_window = (ratio is None or ratio >= 0.75) and spread <= 1.2
         if clean_window:
             break
         time.sleep(15)

@@ -56,6 +56,21 @@ def _shard_filter(documents: DataFrame, shard: int, n_shards: int) -> DataFrame:
 
 def _read_shards(spark: SparkSession, output: str, name: str,
                  shards: int) -> DataFrame:
+    """All shards of a stage table as ONE scan.
+
+    Parquet layout: a single multi-path ``spark.read.parquet`` — plan
+    depth is constant in ``shards`` (a linear ``unionByName`` chain
+    grows the analyzed plan with every shard; at hundreds of shards
+    that is measurable Catalyst analysis time per action).  All shards
+    are written by the same stage code, so their schemas are
+    identical.  Iceberg layout keeps the union (shards are distinct
+    catalog tables there); high-shard Iceberg runs should write one
+    partitioned table instead."""
+    if not tio.is_iceberg_location(output):
+        return spark.read.parquet(*[
+            os.path.join(output, f"{name}_shard{i}.parquet")
+            for i in range(shards)
+        ])
     parts = [
         tio.read_table(spark, output, f"{name}_shard{i}")
         for i in range(shards)
@@ -102,12 +117,17 @@ def run_corpus_job(spark: SparkSession, documents: DataFrame, output: str,
             _shard_filter(documents, shard, shards)
             if shards > 1 else documents
         )
-        # the normalize+digest scan runs exactly ONCE per shard — in the
-        # doc_keys write.  Every later consumer (exact aggregation, rep
-        # filter, stage-4 lineage) reads the materialized narrow table
-        # back instead of re-executing the digest expression (measured
-        # on the composed DAG as duplicate ~150 executor-second stages
-        # before the same fix landed in corpus_pipeline)
+        # every consumer DOWNSTREAM of doc_keys (exact aggregation, rep
+        # filter join, stage-4 lineage) reads the materialized narrow
+        # table back instead of re-executing the digest expression
+        # (measured on the composed DAG as duplicate ~150
+        # executor-second stages before the same fix landed in
+        # corpus_pipeline).  With shards > 1 the digest still runs in
+        # the _shard_filter predicate of `part` itself (here and in the
+        # reps scan below) — a narrow recompute kept deliberately: the
+        # alternative, semi-joining full `documents` against the
+        # materialized doc_keys, replaces a cheap scan+filter with a
+        # full shuffle of the documents table per shard.
         keyed = cp.content_keyed(part)
         tio.write_table(
             keyed.select("doc_id", "content_key",
@@ -149,8 +169,13 @@ def run_corpus_job(spark: SparkSession, documents: DataFrame, output: str,
         sigs = exact_sigs.select(
             F.col("keep_doc_id").alias("doc_id"), "signature"
         )
+        # cache="none": sigs is a materialized parquet stage — the
+        # three LSH consumers rescan fault-recoverable storage instead
+        # of duplicating it into non-recomputable localCheckpoint
+        # blocks (an executor loss then recomputes, not fails)
         pairs = corpus.lsh_pairs_from_signatures(
-            sigs, num_hashes, bands, jaccard_threshold, hash_fn
+            sigs, num_hashes, bands, jaccard_threshold, hash_fn,
+            cache="none",
         )
         tio.write_table(pairs, output, "near_dup_pairs", "overwrite")
         n = tio.read_table(spark, output, "near_dup_pairs").count()
@@ -164,8 +189,11 @@ def run_corpus_job(spark: SparkSession, documents: DataFrame, output: str,
         verts = exact_sigs.select(
             F.col("keep_doc_id").alias("doc_id"), "text_len"
         )
+        # pairs_cache="none": the pair list is the stage-2 parquet
+        # table — already materialized and recomputable, no reason to
+        # copy it into the block store with truncated lineage
         clusters = graph.near_dup_clusters(
-            verts, pairs, len_col="text_len"
+            verts, pairs, len_col="text_len", pairs_cache="none"
         )
         tio.write_table(clusters, output, "near_dup_clusters", "overwrite")
         n = tio.read_table(spark, output, "near_dup_clusters").count()
@@ -293,9 +321,16 @@ def run_incremental_job(spark: SparkSession, batch: DataFrame, output: str,
         )
     )
     tio.write_table(appended, output, "exact_sigs_inc", "append")
-    n_kept = tio.read_table(spark, output, f"inc_kept_{inc_run_id}").count()
+    # one reporting action: kept + total from a single pass over the
+    # materialized decisions table (keep=True rows ARE the inc_kept
+    # table by construction — survivors is a semi-join on them)
+    rep = decisions.agg(
+        F.count("*").alias("n_batch"),
+        F.count(F.when(F.col("keep"), True)).alias("n_kept"),
+    ).first()
+    n_kept, n_batch = rep["n_kept"], rep["n_batch"]
     manifest.mark_done(stage, n_kept)
-    progress(f"[{stage}] {n_kept} of {decisions.count()} batch docs kept, "
+    progress(f"[{stage}] {n_kept} of {n_batch} batch docs kept, "
              f"keys+signatures appended to index")
     return {stage: n_kept}
 

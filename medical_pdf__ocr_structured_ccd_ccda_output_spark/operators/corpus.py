@@ -235,21 +235,43 @@ def _banded_candidates(sigs: DataFrame, num_hashes: int, bands: int,
 def lsh_pairs_from_signatures(sigs: DataFrame, num_hashes: int = 32,
                               bands: int = 8,
                               jaccard_threshold: float = 0.7,
-                              hash_fn: str = "xxhash64") -> DataFrame:
+                              hash_fn: str = "xxhash64",
+                              *, cache: str = "local") -> DataFrame:
     """LSH banding + estimated-Jaccard filter over PRECOMPUTED minhash
     signatures ``(doc_id, signature)``.  The staged corpus job
     (``corpus_job.py``) materializes signatures once per distinct
     content digest and feeds them here, so the expensive shingle +
     minhash scan is never repeated across pipeline stages or resumes.
 
-    ``sigs`` now has three consumers (the narrow band table plus the
-    two est-Jaccard join-backs), so it is lazily localCheckpoint-ed:
-    no job runs at construction, the first consumer materializes the
-    blocks, and the block-manager's per-partition locking guarantees
-    the upstream (often a full shingle+minhash scan) computes at most
-    once.  Callers that already pass a materialized table (parquet
-    stage output, an eager checkpoint) pay one cheap re-cache."""
-    sigs = sigs.localCheckpoint(eager=False)
+    ``sigs`` has three consumers (the narrow band table plus the two
+    est-Jaccard join-backs), so by default it is lazily
+    localCheckpoint-ed: no job runs at construction, the first
+    consumer materializes the blocks, and the block-manager's
+    per-partition locking guarantees the upstream (often a full
+    shingle+minhash scan) computes at most once.
+
+    ``cache`` controls that materialization — a localCheckpoint
+    truncates lineage into non-recomputable blocks, so on a real
+    cluster a single executor loss fails the job instead of
+    recomputing, and an already-materialized input is duplicated into
+    the block store:
+
+    * ``"local"`` (default) — lazy ``localCheckpoint``; right for
+      derived plans (in-process pipelines, the incremental path's
+      batch signatures) where recomputation is the expensive scan.
+    * ``"reliable"`` — lazy reliable ``checkpoint`` (requires
+      ``spark.sparkContext.setCheckpointDir``); survives executor
+      loss at the cost of a checkpoint-dir write.
+    * ``"none"`` — no checkpoint; right when ``sigs`` is already a
+      cheap re-readable scan (a parquet stage table, as in
+      ``corpus_job.py`` stage 2): the three consumers each rescan,
+      and fault recovery recomputes from storage as usual."""
+    if cache == "local":
+        sigs = sigs.localCheckpoint(eager=False)
+    elif cache == "reliable":
+        sigs = sigs.checkpoint(eager=False)
+    elif cache != "none":
+        raise ValueError(f"cache must be local|reliable|none, got {cache!r}")
     cand = _banded_candidates(sigs, num_hashes, bands, hash_fn)
     est = est_jaccard_expr(F.col("sig_a"), F.col("sig_b"), num_hashes)
     sa = sigs.select(F.col("doc_id").alias("doc_a"),

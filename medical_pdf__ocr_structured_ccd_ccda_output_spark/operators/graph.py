@@ -47,9 +47,14 @@ Scale notes (the whole point of this operator):
   unpersisted checkpoint cannot be recomputed): the previous label
   table after the next one is eager-materialized, the raw edge list
   after symmetrization, and the symmetrized list on convergence.
-* The convergence probe (``limit(1).count()`` on changed rows) is one
-  tiny driver action per iteration, bounded by the O(log d) iteration
-  count — not a per-row driver loop.
+* The convergence probe is a FULL ``count()`` of changed rows — one
+  driver action per iteration, bounded by the O(log d) iteration
+  count, not a per-row driver loop.  The full scan is load-bearing:
+  it materializes the lazily-marked checkpoint of the new label table
+  *before* the previous table's blocks are dropped.  A partial-scan
+  probe (e.g. ``limit(1).count()``) would leave some partitions
+  unmaterialized with truncated lineage after the predecessor is
+  freed — unrecoverable.  Do not "optimize" it back.
 """
 
 from __future__ import annotations
@@ -67,6 +72,16 @@ class _CkptTracker:
     and drops exactly those once the caller declares the table dead.
     Reliable ``checkpoint()`` stores to the checkpoint dir rather than
     the block store; ``drop`` is then simply a no-op for its ids.
+
+    ASSUMES A SINGLE-THREADED DRIVER between ``ckpt``/``mark`` calls:
+    the before/after id diff attributes every RDD persisted in that
+    window to this call, so another driver thread persisting or
+    checkpointing concurrently (e.g. a streaming query sharing the
+    session) would land its ids in the diff and a later ``drop``
+    would unpersist a live truncated-lineage checkpoint — silent data
+    loss.  All drivers in this repo are single-threaded; a concurrent
+    caller must instead derive ids from the returned DataFrame's own
+    RDD graph.
     """
 
     def __init__(self, spark, use_reliable: bool):
@@ -266,6 +281,7 @@ def near_dup_clusters(
     dst_col: str = "doc_b",
     max_iter: int = 30,
     len_col: str | None = None,
+    pairs_cache: str = "local",
 ) -> DataFrame:
     """Duplicate clusters + canonical-survivor selection over pair edges.
 
@@ -300,14 +316,28 @@ def near_dup_clusters(
     signatures so the cluster stage never rescans document text.
     Default (None) computes ``length(text)`` in place.
     """
-    # materialize the narrow pair list ONCE: it now feeds three
-    # consumers (the closure's edge checkpoint, the edge-incident
-    # vertex set, and the singleton anti-join), each of which would
-    # otherwise re-execute the full upstream LSH candidate DAG.  The
-    # blocks stay referenced by the returned lazy plan and are
-    # reclaimed by the periodic ContextCleaner GC once the caller's
-    # plan is dropped.
-    pairs = pairs.select(src_col, dst_col).localCheckpoint(eager=True)
+    # materialize the narrow pair list ONCE: it feeds three consumers
+    # (the closure's edge checkpoint, the edge-incident vertex set, and
+    # the singleton anti-join), each of which would otherwise
+    # re-execute the full upstream LSH candidate DAG.  The blocks stay
+    # referenced by the returned lazy plan and are reclaimed by the
+    # periodic ContextCleaner GC once the caller's plan is dropped.
+    # pairs_cache: "local" (default) eager localCheckpoint — lineage is
+    # truncated into non-recomputable blocks, so an executor loss fails
+    # the job; "reliable" eager checkpoint (needs setCheckpointDir) —
+    # survives executor loss; "none" — skip, right when `pairs` is
+    # already a materialized stage table (corpus_job.py stage 3 reads
+    # pairs back from parquet) so the three consumers just rescan
+    # cheap, fault-recoverable storage.
+    pairs = pairs.select(src_col, dst_col)
+    if pairs_cache == "local":
+        pairs = pairs.localCheckpoint(eager=True)
+    elif pairs_cache == "reliable":
+        pairs = pairs.checkpoint(eager=True)
+    elif pairs_cache != "none":
+        raise ValueError(
+            f"pairs_cache must be local|reliable|none, got {pairs_cache!r}"
+        )
     edge_ids = (
         pairs.select(F.col(src_col).alias(id_col))
         .union(pairs.select(F.col(dst_col).alias(id_col)))

@@ -293,3 +293,28 @@ def test_resume_refuses_param_change(spark, tmp_path):
     run_corpus_job(spark, docs, out, run_id="p2", shards=1,
                    num_hashes=16, bands=8, jaccard_threshold=0.5,
                    progress=lambda *_: None)
+
+
+def test_read_shards_constant_depth(spark, tmp_path):
+    """_read_shards at shards=16: one multi-path parquet scan, plan
+    depth independent of the shard count (a linear unionByName chain
+    would put 15 Union nodes in the plan — measurable Catalyst
+    analysis time per action at hundreds of shards)."""
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.corpus_job import (
+        _read_shards,
+    )
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.sources import io as tio
+
+    out = str(tmp_path / "shards")
+    for i in range(16):
+        tio.write_table(
+            spark.range(i * 10, i * 10 + 10).select(
+                F.col("id").alias("doc_id"), F.lit(i).alias("shard")
+            ),
+            out, f"t_shard{i}", "overwrite",
+        )
+    df = _read_shards(spark, out, "t", 16)
+    assert df.count() == 160
+    assert df.select("shard").distinct().count() == 16
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
