@@ -80,7 +80,60 @@ def get_cluster_spark(n_exec: int, cores: int, app: str,
     return spark
 
 
+def stages(n_exec: int, cores: int, mult: int) -> None:
+    """Cumulative per-phase timing of the dedup DAG on local-cluster —
+    the multi-executor twin of tools/corpus_probe.py --stages, for
+    root-causing which phase fails to scale with executor count.
+    Phase k's time includes phases 1..k (same cumulative convention as
+    the round-4 thread-mode decomposition, so deltas are comparable)."""
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.session import (
+        tune_scan_splits,
+    )
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark import (
+        corpus_pipeline as cp,
+    )
+
+    path = os.path.join(REPO, ".bench_cache",
+                        f"documents_dedup_x{mult}.parquet")
+    spark = get_cluster_spark(n_exec, cores, f"cstage{n_exec}x{cores}")
+    tune_scan_splits(spark, path)
+    docs = spark.read.parquet(path)
+    narrow = {
+        "keyed": ["doc_id", "content_key"],
+        "exact_map": None,
+        "signatures": None,
+        "pairs": None,
+        "clusters": None,
+        "decisions": None,
+    }
+
+    def run(stage):
+        res = cp.corpus_dedup(docs, num_hashes=32, bands=8,
+                              jaccard_threshold=0.7, hash_fn="xxhash64")
+        df = getattr(res, stage)
+        cols = narrow[stage]
+        if cols:
+            df = df.select(*cols)
+        df.write.format("noop").mode("overwrite").save()
+
+    out = {"n_executors": n_exec, "cores_per_executor": cores, "mult": mult}
+    for s in narrow:
+        run(s)  # warm
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            run(s)
+            times.append(time.time() - t0)
+        out[s] = round(min(times), 2)
+    spark.stop()
+    print(json.dumps(out))
+
+
 def main():
+    if sys.argv[1] == "--stages":
+        stages(int(sys.argv[2]), int(sys.argv[3]),
+               int(os.environ.get("CORPUS_PROBE_MULT", "320")))
+        return
     n_exec = int(sys.argv[1])
     cores = int(sys.argv[2])
     job_name = sys.argv[3] if len(sys.argv) > 3 else "dedup"
