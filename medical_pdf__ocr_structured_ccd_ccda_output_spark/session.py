@@ -77,6 +77,19 @@ def tune_scan_splits(spark: SparkSession, *paths: str,
     directory); non-local URIs are ignored.  Call BEFORE
     ``spark.read`` — the confs are read at scan planning time.
     Returns the chosen split size in bytes.
+
+    The same wave-quantization rule is applied to SHUFFLE stages: in
+    the compute-dense regime (chosen split < 64 MB, i.e. the input is
+    small enough that byte-sized units under-parallelize the compute),
+    AQE partition coalescing is disabled so the session's explicit
+    ``spark.sql.shuffle.partitions`` (sized to 1-4 waves per core by
+    the caller) survives.  Measured motive (round-5 event-log profile,
+    BENCH.md): AQE's parallelism-first coalescing re-packed the dedup
+    DAG's dominant 353 MB shuffle into 37 partitions on 32 task slots
+    — ceil(37/32)=2 waves at 58 % utilization in the widest stage.  At
+    production sizes (split at the 64 MB cap) the confs are left
+    alone: 100 TB shuffles coalesce to ≫ slot-count partitions and the
+    default behavior is right.
     """
     total = 0
     for p in paths:
@@ -95,4 +108,8 @@ def tune_scan_splits(spark: SparkSession, *paths: str,
     open_cost = max(16 * 1024, min(4 * 1024 * 1024, target // 8))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
     spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
+    if total and target < 64 * 1024 * 1024:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
     return target

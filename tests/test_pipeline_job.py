@@ -134,6 +134,7 @@ def test_tune_scan_splits_widens_small_corpus(spark, tmp_path):
 
     before_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
     before_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    before_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
@@ -146,9 +147,18 @@ def test_tune_scan_splits_widens_small_corpus(spark, tmp_path):
         assert wide > narrow
         assert wide >= min(64, cores)  # per-file cap: 64 files
         assert 256 * 1024 <= target <= 128 * 1024 * 1024
+        # compute-dense regime (split < 64MB) also disables AQE
+        # partition coalescing, so the explicit shuffle width (sized
+        # to balanced waves per core) survives — the round-5 fix for
+        # AQE re-packing the dedup DAG's dominant shuffle into
+        # ceil(37/32)=2 uneven task waves (see BENCH.md)
+        assert spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled") == "false"
         # non-existent / non-local paths contribute nothing and the
         # floor keeps the setting sane
         assert tune_scan_splits(spark, "s3://bucket/prefix") == 256 * 1024
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", before_max)
         spark.conf.set("spark.sql.files.openCostInBytes", before_open)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", before_coal)
