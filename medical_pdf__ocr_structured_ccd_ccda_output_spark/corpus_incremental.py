@@ -69,6 +69,7 @@ def incremental_dedup(
     hash_fn: str = "xxhash64",
     max_iter: int = 30,
     broadcast_batch: bool = True,
+    corpus_bands: DataFrame | None = None,
 ) -> IncrementalDedupResult:
     """Dedup `batch` against a corpus index.
 
@@ -88,6 +89,16 @@ def incremental_dedup(
                   driver; the joins fall back to shuffled hash joins
                   on uniform digest keys (or shuffle-free scans if the
                   index tables are bucketed by join key on disk).
+    corpus_bands: optional PRECOMPUTED corpus band table
+                  ``(doc_id, band, bucket)`` (write-once index
+                  artifact, see ``corpus_job.run_incremental_job``).
+                  When given, the admit skips re-deriving band buckets
+                  from every corpus signature array — the probe scans
+                  the narrow artifact instead, and the signature table
+                  is only scanned for the candidate join-back.
+                  Default None derives bands from ``corpus_sigs`` in
+                  the admit (already narrow: the signature array never
+                  rides the band join either way).
     """
     maybe_bc = F.broadcast if broadcast_batch else (lambda df: df)
     keyed = cp.content_keyed(batch).select("doc_id", "content_key", "text")
@@ -122,28 +133,48 @@ def incremental_dedup(
 
     # -- 3. near vs corpus: band batch-survivor signatures, probe the
     # corpus band table (broadcast the batch side — the corpus is
-    # scanned once, never shuffled)
+    # scanned once, never shuffled).  NARROW LSH (round-5, the same
+    # fix round 4 landed on the batch self-join): the band probe
+    # carries only (doc_id, band, bucket) — never the num_hashes-long
+    # signature array — and the est-Jaccard check joins signatures
+    # back against the DISTINCT candidate set only.  Before, the
+    # corpus side dragged its signature through the 8-way band
+    # derivation and the join (~8x the signature bytes in flight per
+    # admit); measured on the x1280-index admit bench as the dominant
+    # cost.  Both join-backs are broadcast inner probes: still zero
+    # corpus shuffle.
     sigs = corpus.minhash_signatures(
         exact_survivors, num_hashes, shingle_n, hash_fn
     )
     batch_bands = corpus.banded_signatures(sigs, num_hashes, bands, hash_fn)
-    corpus_bands = corpus.banded_signatures(
-        corpus_sigs, num_hashes, bands, hash_fn
-    )
+    if corpus_bands is None:
+        corpus_bands = corpus.banded_signatures(
+            corpus_sigs, num_hashes, bands, hash_fn
+        )
+    corpus_bands = corpus_bands.select("doc_id", "band", "bucket")
     bb = batch_bands.select(
-        F.col("doc_id").alias("_bid"), F.col("signature").alias("_bsig"),
-        "band", "bucket",
+        F.col("doc_id").alias("_bid"), "band", "bucket",
+    )
+    cand = (
+        corpus_bands.join(maybe_bc(bb), ["band", "bucket"])
+        .select(F.col("doc_id").alias("_cdoc"), "_bid")
+        .dropDuplicates()
     )
     hits = (
-        corpus_bands.join(maybe_bc(bb), ["band", "bucket"])
+        corpus_sigs.select(F.col("doc_id").alias("_cdoc"),
+                           F.col("signature").alias("_csig"))
+        .join(maybe_bc(cand), "_cdoc")
+        .join(maybe_bc(sigs.select(F.col("doc_id").alias("_bid"),
+                                   F.col("signature").alias("_bsig"))),
+              "_bid")
         .withColumn(
             "est",
-            corpus.est_jaccard_expr(F.col("signature"), F.col("_bsig"), num_hashes),
+            corpus.est_jaccard_expr(F.col("_csig"), F.col("_bsig"), num_hashes),
         )
         .filter(F.col("est") >= jaccard_threshold)
         # deterministic attribution: the smallest matching corpus doc
         .groupBy("_bid")
-        .agg(F.min("doc_id").alias("_near_corpus_doc"))
+        .agg(F.min("_cdoc").alias("_near_corpus_doc"))
     )
 
     # -- 4. near within batch: LSH self-join + closure over what's left

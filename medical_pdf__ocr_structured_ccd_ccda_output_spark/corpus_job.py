@@ -287,6 +287,34 @@ def run_incremental_job(spark: SparkSession, batch: DataFrame, output: str,
         )
     except AnalysisException:
         pass  # first incremental run: no appended table yet
+
+    # write-once corpus band-table artifact: (doc_id, band, bucket) per
+    # index signature.  The first admit derives it from the signature
+    # arrays and persists it; later admits scan the narrow artifact
+    # instead of re-hashing every corpus signature into buckets (the
+    # dominant per-admit cost measured on the x1280 index,
+    # tools/incremental_bench.py).  Appends below keep it in step with
+    # exact_sigs_inc; a row-count check (one bounded action per admit)
+    # detects staleness — from a crash between the two appends or an
+    # older-code artifact — and rebuilds.
+    n_bands = int(params["bands"])
+    expected_bands = index.count() * n_bands
+    cbands = None
+    try:
+        cbands = tio.read_table(spark, output, "corpus_bands")
+        if cbands.count() != expected_bands:
+            progress("[incremental] corpus_bands artifact stale — rebuilding")
+            cbands = None
+    except AnalysisException:
+        pass
+    if cbands is None:
+        derived = corpus.banded_signatures(
+            index.select(F.col("keep_doc_id").alias("doc_id"), "signature"),
+            int(params["num_hashes"]), n_bands, params["hash_fn"],
+        ).select("doc_id", "band", "bucket")
+        tio.write_table(derived, output, "corpus_bands", "overwrite")
+        cbands = tio.read_table(spark, output, "corpus_bands")
+
     res = ci.incremental_dedup(
         batch,
         corpus_keys=index.select("content_key", "keep_doc_id"),
@@ -294,11 +322,12 @@ def run_incremental_job(spark: SparkSession, batch: DataFrame, output: str,
             F.col("keep_doc_id").alias("doc_id"), "signature"
         ),
         num_hashes=int(params["num_hashes"]),
-        bands=int(params["bands"]),
+        bands=n_bands,
         shingle_n=int(params["shingle_n"]),
         jaccard_threshold=float(params["jaccard_threshold"]),
         hash_fn=params["hash_fn"],
         broadcast_batch=broadcast_batch,
+        corpus_bands=cbands,
     )
     tio.write_table(res.decisions, output, f"inc_decisions_{inc_run_id}",
                     "overwrite")
@@ -320,7 +349,18 @@ def run_incremental_job(spark: SparkSession, batch: DataFrame, output: str,
             "content_key", "signature",
         )
     )
+    # materialize the (batch-survivor-sized) append once: it feeds two
+    # sinks below, each of which would otherwise re-execute the admit
+    # DAG's tail (minhash over survivors + a corpus key-map probe)
+    appended = appended.localCheckpoint(eager=True)
     tio.write_table(appended, output, "exact_sigs_inc", "append")
+    # keep the band artifact in step with the appended signatures (the
+    # staleness check above self-heals if we crash between these two)
+    new_bands = corpus.banded_signatures(
+        appended.select(F.col("keep_doc_id").alias("doc_id"), "signature"),
+        int(params["num_hashes"]), n_bands, params["hash_fn"],
+    ).select("doc_id", "band", "bucket")
+    tio.write_table(new_bands, output, "corpus_bands", "append")
     # one reporting action: kept + total from a single pass over the
     # materialized decisions table (keep=True rows ARE the inc_kept
     # table by construction — survivors is a semi-join on them)

@@ -75,16 +75,50 @@ def main():
     n_batch = base_batch.count()
 
     def batch(i: int):
-        # offset ids into a range the index can't contain; vary text by
-        # batch so batch 2 is not a pure exact-dup replay of batch 1
+        # offset ids into a range the index can't contain.  Both
+        # batches get the SAME per-doc text transform (flatness in
+        # batch COUNT requires identical admit mixes — the first cut
+        # of this bench made batch 1 all-exact and batch 2 all-near
+        # and measured the mix difference, not batch-count growth):
+        #   doc_id%3==0  unchanged        -> exact-dup of the corpus
+        #   doc_id%3==1  3-word suffix    -> near-dup of the corpus
+        #   doc_id%3==2  salted every 3rd word -> unique, kept
+        words = F.split(F.col("text"), " ")
+        salted = F.array_join(
+            F.flatten(F.transform(
+                words,
+                lambda w, j: F.when(
+                    j % 3 == 2,
+                    # batch-specific salt so batch 2's uniques are not
+                    # exact dups of batch 1's (mix identical vs index)
+                    F.array(w, F.concat(F.lit(f"q{i}x"),
+                                        (F.col("doc_id") % 97).cast("string"))),
+                ).otherwise(F.array(w)),
+            )),
+            " ",
+        )
         return base_batch.select(
             (F.col("doc_id") + F.lit((i + 1) * 10_000_000_000)).alias("doc_id"),
-            F.when(F.lit(i) == 0, F.col("text"))
-             .otherwise(F.concat_ws(" ", "text", F.lit(f"b{i} tail")))
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+             .when(F.col("doc_id") % 3 == 1,
+                   F.concat_ws(" ", "text", F.lit("near admit suffix")))
+             .otherwise(salted)
              .alias("text"),
         )
 
     run_tag = uuid.uuid4().hex[:8]
+
+    # one-doc pre-admit: triggers the write-once corpus_bands artifact
+    # derivation (and any rebuild after a code change) OUTSIDE the
+    # timed admits, so t_b1/t_b2 compare steady-state batch cost only;
+    # the derivation cost is reported separately
+    t0 = time.time()
+    cj.run_incremental_job(
+        spark, batch(9).limit(1), out, base_run_id="base",  # disjoint id range vs b1/b2
+        inc_run_id=f"bench_{run_tag}_warm", progress=lambda *_: None,
+    )
+    t_warm = round(time.time() - t0, 2)
+
     admits = []
     for i in range(2):
         b = batch(i)
@@ -112,6 +146,7 @@ def main():
         "n_batch_docs": n_batch,
         "index_built_this_run": built,
         "t_build_index_sec": t_build,
+        "t_warm_admit_plus_band_artifact_sec": t_warm,
         "t_admit_batch1_sec": admits[0],
         "t_admit_batch2_sec": admits[1],
         "flatness_b2_over_b1": round(admits[1] / admits[0], 3),
