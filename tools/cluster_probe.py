@@ -62,6 +62,11 @@ def get_cluster_spark(n_exec: int, cores: int, app: str,
         .master(f"local-cluster[{n_exec},{cores},{worker_mem}]")
         .appName(app)
         .config("spark.executor.memory", f"{exec_mem_mb}m")
+        # executor python workers are separate processes in separate
+        # JVMs here: ship the repo the way spark-submit --py-files
+        # would (Arrow UDFs that import the package need it on the
+        # worker's sys.path; self-contained UDFs don't care)
+        .config("spark.executorEnv.PYTHONPATH", REPO)
         .config("spark.sql.shuffle.partitions", str(4 * n_exec * cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

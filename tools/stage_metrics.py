@@ -66,6 +66,7 @@ def _run(master_kind: str, a: int, b: int, mult: int, log_dir: str) -> float:
             builder.master(f"local-cluster[{a},{b},{worker_mem}]")
             .appName(f"smx_{a}x{b}")
             .config("spark.executor.memory", "7168m")
+            .config("spark.executorEnv.PYTHONPATH", REPO)
             .config("spark.sql.shuffle.partitions", str(4 * a * b))
         )
         for k, v in {
