@@ -83,7 +83,8 @@ NL = "\n"
 _QUERY_ORDER = [
     # flagship + composition queries (S4/S6/S10/streaming/multimodal/S8/S9)
     "transcript_pipeline", "canonical_json", "lineage_checksum",
-    "streaming_extract", "media_features_wav", "ccd_xml",
+    "streaming_extract", "streaming_windowed_metrics",
+    "media_features_wav", "ccd_xml",
     "ccd_xml_entities", "human_doc",
     # dedup / merge family
     "first_wins_merge", "entity_exact_dedup", "fuzzy_merge",
@@ -93,7 +94,7 @@ _QUERY_ORDER = [
     "problems_merge", "lab_conflicts",
     "schema_warnings", "encounter_type", "data_quality",
     # extraction rules / sessionize / joins / rollups (SURVEY §2)
-    "clean_extract", "confidence", "layout_hints",
+    "clean_extract", "layout_hints",
     "near_dup_clusters", "section_headers", "section_spans",
     "uncertain_tokens", "document_rollup", "stage_metrics",
     "review_reasons", "visit_sessionize", "combined_text",
@@ -138,9 +139,17 @@ _QUERY_ORDER = [
     # slot: the exact digest-groupBy IS stage 1 of THREE still-scored
     # composition oracles (corpus_dedup_pipeline, incremental_dedup,
     # streaming_dedup), so its dedicated row was the window's most
-    # redundant evidence.  Both rotated-out queries stay oracled below.)
+    # redundant evidence.  Both rotated-out queries stay oracled below.
+    # Late round-5 rotation: streaming_windowed_metrics — the stateful
+    # event-time windowed rollup through a REAL watermarked stream,
+    # oracled against a batch-twin DuckDB aggregate — took the
+    # dedicated confidence query's slot: `confidence` emits exactly the
+    # (doc, confidence) pairs the still-scored streaming_extract
+    # already emits per turn (same estimator, same rounding, same
+    # rows), so its row was pure duplication.  confidence stays
+    # oracled below.)
     "normalize", "media_features_docs", "ann_bruteforce",
-    "numbered_tokens", "exact_dedup",
+    "numbered_tokens", "exact_dedup", "confidence",
     "boundary_flags", "extract_date", "mark_unclear", "parse_names",
     "sanitize_names",
     "region_revenue", "topk_per_group",
@@ -1234,6 +1243,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_clean", "confidence",
         )
     q["streaming_extract"] = q_streaming_extract
+
+    def q_streaming_windowed_metrics(spark, sf):
+        """STATEFUL streaming: event-time tumbling-window extraction
+        metrics through a real watermarked availableNow stream
+        (readStream -> extract_turns -> windowed_turn_metrics ->
+        append-mode sink), DuckDB-oracled against the batch twin.
+
+        Replay plan that makes the streamed result deterministic and
+        equal to the batch aggregate: slab 0 is every documents-derived
+        turn in ONE file (the watermark applied to a micro-batch comes
+        from strictly-earlier batches, so nothing in the first batch
+        can be dropped); slab 1 is a single far-future sentinel whose
+        event time advances the watermark past every real window's end;
+        the final no-data micro-batch applies that watermark and
+        flushes every real window out of the state store.  The
+        sentinel's own window is withheld (the watermark never passes
+        it), so the output is exactly the real windows.  File order is
+        pinned with explicit mtimes (FileStreamSource consumes in
+        mtime order at maxFilesPerTrigger=1).
+
+        Timezone-independence: ts is built with timestamp_seconds on
+        pure epoch arithmetic and Spark's window() tumbles on raw epoch
+        micros (no calendar), so window_start_epoch is the same under
+        any driver session timezone and the oracle needs no timestamps
+        at all — v - v % 3600 on the same epoch integers."""
+        import os
+        import tempfile
+
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.streaming.windowed import (
+            run_windowed_metrics_stream,
+        )
+
+        base = tempfile.mkdtemp(prefix="winstream_gate_")
+        in_dir, ckpt = f"{base}/in", f"{base}/ckpt"
+        d = _read(spark, sf, "documents")
+        injected = F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("Visit Date: 03/15/2024\n"), F.col("text")),
+        ).otherwise(F.col("text"))
+        role = (
+            F.when(F.col("doc_id") % 3 == 0, "user")
+            .when(F.col("doc_id") % 3 == 1, "assistant")
+            .otherwise("tool_result")
+        )
+        turns = d.select(
+            F.col("source").alias("conv_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            role.alias("role"),
+            injected.alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            # 1704067200 = 2024-01-01T00:00:00Z (hour-aligned); 180
+            # one-minute steps spread the corpus over three 1h windows
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("doc_id") % 180) * 60
+            ).alias("ts"),
+        )
+        turns.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        real_files = {f for f in os.listdir(in_dir) if f.endswith(".parquet")}
+        sentinel = spark.range(1).select(
+            F.lit("zz").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("sentinel").alias("role"),
+            F.lit("sentinel row").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.timestamp_seconds(F.lit(1704067200 + 365 * 24 * 3600)).alias("ts"),
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+        for fname in os.listdir(in_dir):
+            if fname.endswith(".parquet"):
+                t = 1_700_000_000 if fname in real_files else 1_700_000_060
+                os.utime(os.path.join(in_dir, fname), (t, t))
+        qn = "winm_" + os.path.basename(base).replace("winstream_gate_", "")
+        q_ = run_windowed_metrics_stream(
+            spark, in_dir, ckpt, qn,
+            window_duration="1 hour", watermark_delay="30 minutes",
+            max_files_per_trigger=1,
+        )
+        q_.awaitTermination(300)
+        return spark.table(qn)
+    q["streaming_windowed_metrics"] = q_streaming_windowed_metrics
 
     def q_media_features(spark, sf):
         media = multimodal.synthetic_media(spark, n=48)
@@ -3476,6 +3565,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.source, c.doc_id, c.text_clean, cf.confidence
             FROM cleaned c
             JOIN conf cf ON cf.source = c.source AND cf.doc_id = c.doc_id
+        """,
+        # batch twin of the watermarked streamed rollup: a fully-
+        # finalized availableNow replay must equal this aggregate
+        # row-for-row (windowed.py module doc).  Pure epoch-integer
+        # window arithmetic (v - v % 3600) — Spark's window() tumbles
+        # on raw epoch micros, no calendar/timezone on either side.
+        # SUMs cast to BIGINT (DuckDB HUGEINT -> float64 hash drift).
+        "streaming_windowed_metrics": f"""
+            WITH inp AS ({_INJECT_SQL}),
+            cleaned AS ({_clean_sql("inp", "source, doc_id")}),
+            conf AS ({_confidence_sql("cleaned", "source, doc_id", "text_clean",
+                                      rounded=True, out="confidence")}),
+            base AS (
+              SELECT 1704067200 + (c.doc_id % 180) * 60 AS v,
+                CASE CAST(c.doc_id % 3 AS INT) WHEN 0 THEN 'user'
+                     WHEN 1 THEN 'assistant' ELSE 'tool_result' END AS role,
+                CASE WHEN regexp_matches(c.text_clean, '{_BOUNDARY_RE_SQL}')
+                     THEN 1 ELSE 0 END AS b,
+                length(c.text_clean) AS chars,
+                CAST(round(cf.confidence * 100) AS BIGINT) AS conf100
+              FROM cleaned c
+              JOIN conf cf ON cf.source = c.source AND cf.doc_id = c.doc_id
+            )
+            SELECT CAST(v - (v % 3600) AS BIGINT) AS window_start_epoch, role,
+              COUNT(*) AS turn_count,
+              CAST(SUM(b) AS BIGINT) AS boundary_count,
+              CAST(SUM(chars) AS BIGINT) AS total_chars,
+              CAST(SUM(conf100) AS BIGINT) AS sum_conf_x100
+            FROM base GROUP BY 1, 2
         """,
         "media_features_docs": r"""
             WITH a AS (
