@@ -155,7 +155,7 @@ _QUERY_ORDER = [
     "region_revenue", "topk_per_group",
     "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
-    "visit_sessionize_skew",
+    "session_window_rollup", "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
     "fingerprints", "ann_lsh", "ann_ivf", "emb_near_dups_lsh",
@@ -636,6 +636,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("user_id", "event_id", "session_id")
         )
     q["sessionize_events"] = q_sessionize_events
+
+    def q_session_window_rollup(spark, sf):
+        """Native F.session_window gap-sessions — declarative twin of
+        q_sessionize_events' lag/prefix-sum islands, oracled against
+        the SQL islands form (strict > gap split; end = last ts + gap;
+        semantics measured and pinned in test_session_window.py)."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.sessionize import (
+            session_window_rollup,
+        )
+        ev = _read(spark, sf, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")  # parquet NTZ -> TZ (UTC session)
+        )
+        return session_window_rollup(ev)
+    q["session_window_rollup"] = q_session_window_rollup
 
     def q_topk_per_group(spark, sf):
         from pyspark.sql import Window
@@ -3879,6 +3893,31 @@ def oracle_sql() -> dict[str, str]:
               CAST(1 + SUM(n) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
             FROM flagged
+        """,
+        # islands form of session_window: Spark merges overlapping
+        # [ts, ts+gap) intervals == new island only when the gap to the
+        # previous event is STRICTLY > gap (measured; exact-gap events
+        # merge).  MIN/MAX epochs are exact BIGINT micros — tz-free on
+        # both sides (unix_micros / epoch_us).
+        "session_window_rollup": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+                     WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000 THEN 1
+                     ELSE 0 END AS n
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, value,
+                SUM(n) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            )
+            SELECT user_id,
+              CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+              CAST(MAX(epoch_us(ts)) + 30*60*1000000 AS BIGINT) AS session_end_us,
+              COUNT(*) AS n_events, MAX(value) AS max_value
+            FROM s GROUP BY user_id, sid
         """,
         "topk_per_group": """
             SELECT event_type, CAST(rank AS INT) AS rank, event_id, value

@@ -18,6 +18,15 @@ Two implementations with identical output:
   prefix offsets are computed on the tiny per-bucket table, then joined
   back and combined with an intra-bucket running sum.  The expensive
   shuffles are keyed by (conv_id, bucket) — no single hot key.
+
+  This is the "salt and repartition on conv_id" of the north-star
+  brief in deterministic form: the bucket index is a content-derived
+  salt (turn_idx // bucket_size) rather than a random one, which is
+  what lets the per-bucket partials be recombined exactly (a random
+  salt would defuse the hot key but destroy the prefix-sum order).
+  The stateless extraction stage upstream needs no repartition at all
+  — it is per-turn parallel with zero shuffle, so conversation length
+  skew cannot make a straggler before the sessionize boundary.
 """
 
 from __future__ import annotations
@@ -178,3 +187,42 @@ def visit_rollup(turns_with_visits: DataFrame,
         if truncated is not None:
             aggs.append(truncated.alias("raw_text_truncated"))
     return turns_with_visits.groupBy("conv_id", "visit_id").agg(*aggs)
+
+
+def session_window_rollup(events: DataFrame, key: str = "user_id",
+                          ts: str = "ts", value: str = "value",
+                          gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE session_window operator —
+    the declarative twin of the lag/prefix-sum islands form
+    (q_sessionize_events): overlapping [ts, ts+gap) intervals per key
+    are merged transitively, which yields the same sessions as "new
+    island when the gap to the previous event is STRICTLY greater than
+    `gap`" (measured: two events exactly `gap` apart merge into one
+    session — pinned in tests/test_session_window.py).  Session start =
+    first event ts, end = last event ts + gap.
+
+    Epochs are emitted with unix_micros (instant arithmetic, timezone-
+    free), so the result is bit-identical to the SQL islands oracle
+    under any session timezone.
+
+    100 TB: one shuffle keyed on `key` with map-side partial session
+    merging (ObjectHashAggregate over the session-window buffer); no
+    per-key global sort of raw events on the reduce side beyond the
+    per-group merge.  In Structured Streaming the SAME expression is a
+    watermark-evictable stateful session aggregation (Spark 3.2+
+    session_window streaming support) — state per key is bounded by the
+    number of OPEN sessions, not event volume.
+    """
+    return (
+        events.groupBy(F.col(key), F.session_window(F.col(ts), gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.col(value)).alias("max_value"),
+        )
+        .select(
+            F.col(key),
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events", "max_value",
+        )
+    )
