@@ -10,6 +10,7 @@ Pins the contract session_window_rollup documents:
 """
 
 import datetime as dt
+import os
 
 from pyspark.sql import Window, functions as F
 
@@ -71,3 +72,68 @@ def test_native_equals_islands_form(spark):
     )
     assert native == {tuple(r) for r in islands.collect()}
     assert len(native) > 15  # more sessions than users: gaps really split
+
+
+def _sw_agg(df):
+    return (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max("value").alias("max_value"))
+        .select("user_id", F.unix_micros("sw.start").alias("session_start_us"),
+                F.unix_micros("sw.end").alias("session_end_us"),
+                "n_events", "max_value")
+    )
+
+
+def test_session_window_streams_and_merges_across_batches(spark, tmp_path):
+    """The same session_window expression is a stateful streaming
+    aggregation: sessions whose events arrive in DIFFERENT micro-
+    batches merge in the state store (u3's 00:05 and 00:20 land in
+    separate slabs but emit ONE session), and a fully-finalized
+    availableNow replay equals the batch twin row-for-row.  Slab order
+    is pinned with explicit mtimes; a far-future sentinel advances the
+    watermark past every real session's end so the final no-data batch
+    flushes them; the sentinel's own session is withheld."""
+    schema = "user_id long, ts timestamp, value double"
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def ev(uid, minutes, value=1.0):
+        return (uid, T0 + dt.timedelta(minutes=minutes), value)
+
+    slabs = [
+        [ev(1, 0), ev(1, 10), ev(2, 5), ev(3, 5)],
+        [ev(3, 20), ev(1, 50), ev(2, 90)],      # u3 merges cross-batch
+        [ev(1, 200, 7.0)],
+    ]
+    sentinel = [(99, T0 + dt.timedelta(days=365), 0.0)]
+    mtime = 1_700_000_000
+    for slab in slabs + [sentinel]:
+        before = set(os.listdir(in_dir))
+        spark.createDataFrame(slab, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        for f in set(os.listdir(in_dir)) - before:
+            os.utime(os.path.join(in_dir, f), (mtime, mtime))
+        mtime += 60
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (_sw_agg(stream.withWatermark("ts", "30 minutes"))
+         .writeStream.format("memory").queryName("sw_stream_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("sw_stream_out").collect()}
+
+    real = [r for slab in slabs for r in slab]
+    exp = {tuple(r) for r in
+           _sw_agg(spark.createDataFrame(real, schema)).collect()}
+    assert got == exp
+    by_user = {}
+    for row in got:
+        by_user[row[0]] = by_user.get(row[0], 0) + 1
+    # u3's two events, from different micro-batches, merged: ONE session
+    assert by_user[3] == 1
+    assert next(r for r in got if r[0] == 3)[3] == 2
+    assert 99 not in by_user  # sentinel session withheld
