@@ -205,13 +205,20 @@ def session_window_rollup(events: DataFrame, key: str = "user_id",
     free), so the result is bit-identical to the SQL islands oracle
     under any session timezone.
 
-    100 TB: one shuffle keyed on `key` with map-side partial session
-    merging (ObjectHashAggregate over the session-window buffer); no
-    per-key global sort of raw events on the reduce side beyond the
-    per-group merge.  In Structured Streaming the SAME expression is a
-    watermark-evictable stateful session aggregation (Spark 3.2+
-    session_window streaming support) — state per key is bounded by the
-    number of OPEN sessions, not event volume.
+    100 TB (plan measured with .explain("formatted")): partial
+    HashAggregate keyed on (key, raw-interval) -> ONE Exchange hash-
+    partitioned on `key` -> per-partition Sort -> MergingSessions ->
+    final HashAggregate.  The pre-shuffle partial collapses only rows
+    with identical timestamps, so the shuffle carries ~one row per
+    distinct (key, ts) — fine when sessions are the unit of analysis,
+    but a single pathologically hot key concentrates its whole event
+    stream in one task (the Sort is per-partition, not per-key, so
+    memory spills rather than OOMs; for prefix-sum workloads on a hot
+    key use the bucketed assign_visits_skew_aware shape instead).  In
+    Structured Streaming the SAME expression is a watermark-evictable
+    stateful session aggregation — state per key is bounded by OPEN
+    sessions, not event volume; cross-micro-batch session merge is
+    pinned in tests/test_session_window.py.
     """
     return (
         events.groupBy(F.col(key), F.session_window(F.col(ts), gap).alias("sw"))
