@@ -141,3 +141,33 @@ def test_within_delay_late_row_counted(spark, tmp_path):
     q.awaitTermination(180)
     got = _collect(spark, "win_okl_out")
     assert got[(int(T0.timestamp()), "user")][0] == 2
+
+
+def test_state_stays_bounded_over_long_replay(spark, tmp_path):
+    """The 100 TB claim in windowed.py, measured: with window=1h and
+    delay=30min the state store never holds more than
+    ceil(delay/window)+1 = 2 windows per role, no matter how many
+    hours stream through.  Eight hour-advancing slabs -> every batch's
+    numRowsTotal stays <= 2; all eight finalized windows are emitted."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for h in range(8):
+        _write_slab(spark, in_dir, [
+            _turn("c1", 2 * h, "user", h * 60 + 5),
+            _turn("c1", 2 * h + 1, "user", h * 60 + 40),
+        ])
+    _write_slab(spark, in_dir, [_turn("zz", 0, "sentinel", 48 * 60)])
+
+    q = run_windowed_metrics_stream(
+        spark, str(in_dir), str(tmp_path / "ckpt"), "win_bound_out")
+    q.awaitTermination(300)
+    got = _collect(spark, "win_bound_out")
+
+    hours = {ws for ws, _ in got}
+    assert hours == {int((T0 + dt.timedelta(hours=h)).timestamp())
+                     for h in range(8)}
+    assert all(v[0] == 2 for k, v in got.items() if k[1] == "user")
+    state_rows = [op["numRowsTotal"]
+                  for p in q.recentProgress for op in p["stateOperators"]]
+    assert state_rows, "no state metrics recorded"
+    assert max(state_rows) <= 2, state_rows
