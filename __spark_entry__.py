@@ -155,7 +155,7 @@ _QUERY_ORDER = [
     "region_revenue", "topk_per_group",
     "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
-    "session_window_rollup", "visit_sessionize_skew",
+    "session_window_rollup", "corpus_profile", "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
     "fingerprints", "ann_lsh", "ann_ivf", "emb_near_dups_lsh",
@@ -650,6 +650,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return session_window_rollup(ev)
     q["session_window_rollup"] = q_session_window_rollup
+
+    def q_corpus_profile(spark, sf):
+        """Per-source corpus profiling rollup.  The HLL sketch column
+        is dropped here (approximate by design, engine-specific bits);
+        it is pinned within tolerance of the exact count in
+        tests/test_corpus_profile.py — everything else is exact and
+        value-hash-oracled, including the interpolated median."""
+        d = _read(spark, sf, "documents")
+        return corpus.corpus_profile(d).drop("approx_distinct_contents")
+    q["corpus_profile"] = q_corpus_profile
 
     def q_topk_per_group(spark, sf):
         from pyspark.sql import Window
@@ -3893,6 +3903,21 @@ def oracle_sql() -> dict[str, str]:
               CAST(1 + SUM(n) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
             FROM flagged
+        """,
+        # exact norm-digest as exact_dedup's oracle; median is the
+        # interpolated (a+b)/2 on exact sorted integer lengths — bit-
+        # equal across engines (both interpolate in doubles from the
+        # same two order statistics)
+        "corpus_profile": r"""
+            SELECT source,
+              COUNT(*) AS n_docs,
+              COUNT(DISTINCT md5(trim(regexp_replace(lower(coalesce(text, '')),
+                    '[\s\x0b]+', ' ', 'g')))) AS n_distinct_contents,
+              CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+              CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+              CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+              median(length(text)) AS median_chars
+            FROM documents GROUP BY source
         """,
         # islands form of session_window: Spark merges overlapping
         # [ts, ts+gap) intervals == new island only when the gap to the

@@ -627,3 +627,50 @@ def fingerprints(documents: DataFrame, k: int = 5, window: int = 4,
     return documents.select(
         "doc_id", F.array_sort(F.array_distinct(wins)).alias("fingerprints")
     )
+
+
+def corpus_profile(documents: DataFrame, text: str = "text",
+                   group: str = "source") -> DataFrame:
+    """Per-group corpus profiling rollup: the health dashboard a 100 TB
+    training-data pipeline recomputes continuously — document counts,
+    EXACT and HLL-approximate distinct-content counts, and length
+    statistics (sum / min / max / interpolated median) per corpus slice.
+
+    The reference surfaces this as per-run summary stats (DataQuality
+    rollups, audit-report totals); at corpus scale the rollup becomes
+    a per-source table so drift (a source suddenly duplicating or
+    emitting short docs) is visible per slice.
+
+    100 TB notes:
+
+    * one logical aggregation keyed on `group`: Spark plans the
+      count(DISTINCT key) via expand + two-phase aggregate, and every
+      other metric rides the same shuffle with map-side partials.
+    * `approx_distinct_contents` is an HLL++ sketch (rsd 2.5%) — at
+      100 TB it is the column you read instead of the exact one
+      (sketches merge in the partial aggregate, so the shuffle carries
+      one ~1.5 kB sketch per group instead of every distinct key).
+      The exact column is kept because this engine's gate demands
+      bit-stable answers; the pytest pins the sketch within tolerance
+      of the exact count.
+    * median is the interpolated (a+b)/2 on the exact sorted lengths —
+      bit-equal across engines for integer inputs (both interpolate in
+      doubles from the same two order statistics).
+    """
+    length = F.length(F.col(text)).cast("long")
+    key = F.md5(norm_text(F.col(text)))
+    return (
+        documents
+        .select(F.col(group), length.alias("_len"), key.alias("_key"))
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_key").alias("n_distinct_contents"),
+            F.approx_count_distinct("_key", 0.025)
+            .alias("approx_distinct_contents"),
+            F.sum("_len").alias("total_chars"),
+            F.min("_len").alias("min_chars"),
+            F.max("_len").alias("max_chars"),
+            F.median("_len").alias("median_chars"),
+        )
+    )
