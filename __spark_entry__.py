@@ -155,7 +155,8 @@ _QUERY_ORDER = [
     "region_revenue", "topk_per_group",
     "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
-    "session_window_rollup", "corpus_profile", "visit_sessionize_skew",
+    "session_window_rollup", "corpus_profile", "hash_split",
+    "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
     "fingerprints", "ann_lsh", "ann_ivf", "emb_near_dups_lsh",
@@ -660,6 +661,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _read(spark, sf, "documents")
         return corpus.corpus_profile(d).drop("approx_distinct_contents")
     q["corpus_profile"] = q_corpus_profile
+
+    def q_hash_split(spark, sf):
+        """Deterministic leakage-free split assignment + nested
+        deterministic sample flag, per document — the full membership
+        is value-hash-oracled (a pure function of (salt, key), bit-
+        reproducible in DuckDB via the same md5-hex arithmetic)."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.corpus import (
+            _hash_bucket,
+            hash_split,
+        )
+        d = _read(spark, sf, "documents")
+        return hash_split(d).select(
+            "doc_id", "source", "split",
+            (_hash_bucket("sample-v1", F.col("doc_id")) < 100_000)
+            .alias("in_10pct_sample"),
+        )
+    q["hash_split"] = q_hash_split
 
     def q_topk_per_group(spark, sf):
         from pyspark.sql import Window
@@ -3918,6 +3936,23 @@ def oracle_sql() -> dict[str, str]:
               CAST(MAX(length(text)) AS BIGINT) AS max_chars,
               median(length(text)) AS median_chars
             FROM documents GROUP BY source
+        """,
+        # same md5-hex bucket arithmetic as the Spark _hash_bucket:
+        # int(md5(salt:key)[:15 hex]) % 1e6, thresholds 980k/990k
+        "hash_split": """
+            WITH b AS (
+              SELECT doc_id, source,
+                CAST(concat('0x', substr(md5('split-v1' || ':' || source), 1, 15))
+                     AS BIGINT) % 1000000 AS sb,
+                CAST(concat('0x', substr(md5('sample-v1' || ':' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS db
+              FROM documents
+            )
+            SELECT doc_id, source,
+              CASE WHEN sb < 980000 THEN 'train'
+                   WHEN sb < 990000 THEN 'val' ELSE 'test' END AS split,
+              db < 100000 AS in_10pct_sample
+            FROM b
         """,
         # islands form of session_window: Spark merges overlapping
         # [ts, ts+gap) intervals == new island only when the gap to the

@@ -674,3 +674,55 @@ def corpus_profile(documents: DataFrame, text: str = "text",
             F.median("_len").alias("median_chars"),
         )
     )
+
+
+def _hash_bucket(salt: str, *cols) -> F.Column:
+    """Deterministic bucket in [0, 1e6): 15 hex chars of md5(salt:key)
+    as an integer, mod 1e6.  A pure function of (salt, key) — stable
+    across runs, partitionings, Spark versions and engines (the DuckDB
+    oracle reproduces it bit-for-bit), which is what makes splits and
+    samples reproducible and auditable at 100 TB; RNG-based sampling
+    (rand(), sampleBy) changes membership whenever the partitioning or
+    seed plumbing changes."""
+    s = F.concat_ws(":", F.lit(salt), *[c.cast("string") for c in cols])
+    return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            % 1_000_000)
+
+
+def hash_split(documents: DataFrame, key: str = "source",
+               salt: str = "split-v1",
+               weights=(("train", 0.98), ("val", 0.01), ("test", 0.01)),
+               ) -> DataFrame:
+    """Leakage-free deterministic train/val/test assignment.
+
+    Splitting on `key` = source (not doc_id) is the leakage defense:
+    every document of a source lands in the SAME split, so near-
+    duplicates within a source (boilerplate families, crawl revisits)
+    can never straddle train and eval.  Pure projection — zero
+    shuffle; the split column is computable at scan time anywhere in
+    the pipeline, and re-running with the same salt reproduces the
+    exact membership (change the salt to draw a fresh split).
+    """
+    bucket = _hash_bucket(salt, F.col(key))
+    acc, expr = 0.0, None
+    for name, w in weights[:-1]:
+        acc += w
+        cond = bucket < int(acc * 1_000_000)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(weights[0][0]) if expr is None
+            else expr.otherwise(weights[-1][0]))
+    return documents.withColumn("split", expr)
+
+
+def deterministic_sample(documents: DataFrame, rate: float,
+                         key: str = "doc_id",
+                         salt: str = "sample-v1") -> DataFrame:
+    """Reproducible ~rate subsample: keep rows whose hash bucket falls
+    below rate.  Samples at different rates with the same salt NEST
+    (a 1% sample is a subset of the 10% sample — bucket < 10_000 ⊂
+    bucket < 100_000), which is the property corpus-curation ablations
+    rely on.  Pure filter: predicate-pushdown-friendly, zero shuffle.
+    """
+    return documents.filter(
+        _hash_bucket(salt, F.col(key)) < int(rate * 1_000_000)
+    )
