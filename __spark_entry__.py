@@ -156,7 +156,7 @@ _QUERY_ORDER = [
     "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
     "session_window_rollup", "corpus_profile", "hash_split",
-    "visit_sessionize_skew",
+    "pack_manifest", "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
     "fingerprints", "ann_lsh", "ann_ivf", "emb_near_dups_lsh",
@@ -678,6 +678,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("in_10pct_sample"),
         )
     q["hash_split"] = q_hash_split
+
+    def q_pack_manifest(spark, sf):
+        """Concat-and-chunk packing manifest (capacity 512 so bins
+        straddle at sf granularity) — full doc->bin mapping oracled."""
+        d = _read(spark, sf, "documents")
+        return corpus.pack_manifest(d, capacity=512)
+    q["pack_manifest"] = q_pack_manifest
 
     def q_topk_per_group(spark, sf):
         from pyspark.sql import Window
@@ -3936,6 +3943,29 @@ def oracle_sql() -> dict[str, str]:
               CAST(MAX(length(text)) AS BIGINT) AS max_chars,
               median(length(text)) AS median_chars
             FROM documents GROUP BY source
+        """,
+        # exclusive prefix sum of the same BPE-ish token counts as
+        # token_counts; bin ids by BIGINT integer division (// in
+        # DuckDB == DIV in Spark on nonneg longs)
+        "pack_manifest": f"""
+            WITH t AS (
+              SELECT source, doc_id,
+                CAST(len(regexp_extract_all(coalesce(text, ''), '{tok_re}'))
+                     AS BIGINT) AS n_tokens
+              FROM documents
+            ), s AS (
+              SELECT source, doc_id, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS stream_offset
+              FROM t
+            )
+            SELECT source, doc_id, n_tokens,
+              CAST(stream_offset AS BIGINT) AS stream_offset,
+              CAST(stream_offset // 512 AS BIGINT) AS first_bin,
+              CAST((stream_offset + greatest(n_tokens, 1) - 1) // 512
+                   AS BIGINT) AS last_bin
+            FROM s
         """,
         # same md5-hex bucket arithmetic as the Spark _hash_bucket:
         # int(md5(salt:key)[:15 hex]) % 1e6, thresholds 980k/990k

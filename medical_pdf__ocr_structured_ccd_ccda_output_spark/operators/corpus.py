@@ -726,3 +726,41 @@ def deterministic_sample(documents: DataFrame, rate: float,
     return documents.filter(
         _hash_bucket(salt, F.col(key)) < int(rate * 1_000_000)
     )
+
+
+def pack_manifest(documents: DataFrame, capacity: int = 2048,
+                  group: str = "source") -> DataFrame:
+    """Concat-and-chunk packing manifest: map each document to its
+    place in fixed-capacity training context windows.
+
+    Pretraining packs a corpus by concatenating documents into one
+    token stream and slicing it into `capacity`-token bins; the
+    manifest is the (doc -> stream position -> bin span) table that
+    makes the pack reproducible and auditable without materializing
+    the stream.  Per (group, doc_id) order: ``stream_offset`` is the
+    exclusive prefix sum of BPE-ish token counts within the group,
+    ``first_bin``/``last_bin`` the bins the document's tokens straddle
+    (empty documents occupy their offset's bin with zero tokens).
+
+    100 TB notes: one shuffle, keyed on `group` (the per-source stream
+    is the unit of packing — sources are many and hash-uniform).  The
+    prefix sum is a single window; for a pathologically hot group the
+    same two-level bucketed shape as assign_visits_skew_aware applies.
+    Bin ids use integer division on BIGINT token offsets — exact, and
+    bit-identical in the DuckDB oracle.
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    ntok = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).cast("long")
+    w = (Window.partitionBy(group).orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    df = documents.select(F.col(group), F.col("doc_id"), ntok.alias("n_tokens"))
+    df = df.withColumn(
+        "stream_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return df.select(
+        group, "doc_id", "n_tokens", "stream_offset",
+        F.expr(f"stream_offset DIV {capacity}").alias("first_bin"),
+        F.expr(
+            f"(stream_offset + greatest(n_tokens, 1) - 1) DIV {capacity}"
+        ).alias("last_bin"),
+    )
