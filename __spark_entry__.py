@@ -74,6 +74,11 @@ from medical_pdf__ocr_structured_ccd_ccda_output_spark.renderers.xml import (
 
 NL = "\n"
 
+# shared by q_corpus_mix and its oracle: per-source keep thresholds in
+# millionths (pure ints so the Spark map literal and the SQL CASE chain
+# are generated from identical values)
+_MIX_THRESHOLDS = {f"src{i}": 100_000 + 200_000 * (i % 5) for i in range(20)}
+
 # Priority order for the queries() dict.  CORRECTNESS_r01 recorded
 # verdicts for exactly the first 50 insertion-ordered queries and none
 # after, so the contract front-loads the flagship pipeline, the
@@ -156,7 +161,7 @@ _QUERY_ORDER = [
     "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
     "session_window_rollup", "corpus_profile", "hash_split",
-    "pack_manifest", "visit_sessionize_skew",
+    "pack_manifest", "corpus_mix", "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
     "fingerprints", "ann_lsh", "ann_ivf", "emb_near_dups_lsh",
@@ -685,6 +690,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _read(spark, sf, "documents")
         return corpus.pack_manifest(d, capacity=512)
     q["pack_manifest"] = q_pack_manifest
+
+    def q_corpus_mix(spark, sf):
+        """Weighted deterministic mixing over the 20 stable synthetic
+        sources (rates 0.1/0.3/0.5/0.7/0.9 by source index mod 5) —
+        exact kept-set membership oracled."""
+        d = _read(spark, sf, "documents")
+        weights = {k: v / 1_000_000 for k, v in _MIX_THRESHOLDS.items()}
+        return corpus.corpus_mix(d, weights).select("doc_id", "source")
+    q["corpus_mix"] = q_corpus_mix
 
     def q_topk_per_group(spark, sf):
         from pyspark.sql import Window
@@ -3943,6 +3957,18 @@ def oracle_sql() -> dict[str, str]:
               CAST(MAX(length(text)) AS BIGINT) AS max_chars,
               median(length(text)) AS median_chars
             FROM documents GROUP BY source
+        """,
+        # same md5 bucket as hash_split's sample flag; per-source keep
+        # thresholds generated from the shared _MIX_THRESHOLDS ints
+        "corpus_mix": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                CAST(concat('0x', substr(md5('mix-v1' || ':' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS b,
+                CASE {' '.join(f"WHEN source = '{k}' THEN {v}" for k, v in _MIX_THRESHOLDS.items())}
+                     ELSE 0 END AS thr
+              FROM documents
+            ) WHERE b < thr
         """,
         # exclusive prefix sum of the same BPE-ish token counts as
         # token_counts; bin ids by BIGINT integer division (// in

@@ -764,3 +764,30 @@ def pack_manifest(documents: DataFrame, capacity: int = 2048,
             f"(stream_offset + greatest(n_tokens, 1) - 1) DIV {capacity}"
         ).alias("last_bin"),
     )
+
+
+def corpus_mix(documents: DataFrame, weights: dict, key: str = "doc_id",
+               group: str = "source", salt: str = "mix-v1",
+               default_rate: float = 0.0) -> DataFrame:
+    """Weighted deterministic corpus mixing: keep each group's rows at
+    its configured rate, on the same md5 bucket as deterministic_sample
+    — so a re-run reproduces the exact mix, raising one source's
+    weight strictly grows its kept set (nesting), and membership is
+    independent of partitioning.
+
+    `weights` (group -> rate in [0,1]) becomes a map LITERAL — the
+    lookup is a pure expression, zero shuffle and zero join for the
+    dictionary sizes a mixing config actually has (thousands of
+    sources fit fine; for a weights TABLE beyond literal size, join it
+    with F.broadcast and filter on the joined rate instead — same
+    bucket, same semantics).  Groups absent from `weights` default to
+    `default_rate` (0 = drop, the curation-safe default).
+    """
+    entries = []
+    for g, r in weights.items():
+        entries += [F.lit(g), F.lit(int(round(r * 1_000_000)))]
+    thr = F.coalesce(
+        F.create_map(*entries)[F.col(group)],
+        F.lit(int(round(default_rate * 1_000_000))),
+    )
+    return documents.filter(_hash_bucket(salt, F.col(key)) < thr)
