@@ -89,27 +89,28 @@ _QUERY_ORDER = [
     # flagship + composition queries (S4/S6/S10/streaming/multimodal/S8/S9)
     "transcript_pipeline", "canonical_json", "lineage_checksum",
     "streaming_extract", "streaming_windowed_metrics",
+    "session_window_rollup",
     "media_features_wav", "ccd_xml",
     "ccd_xml_entities", "human_doc",
     # dedup / merge family
     "first_wins_merge", "entity_exact_dedup", "fuzzy_merge",
-    "unclear_chars", "visit_rollup",
+    "visit_rollup",
     # entity extraction / validation operators
     "vitals_extract", "allergies_plan", "ingest_quarantine",
     "problems_merge", "lab_conflicts",
     "schema_warnings", "encounter_type", "data_quality",
     # extraction rules / sessionize / joins / rollups (SURVEY §2)
     "clean_extract", "layout_hints",
-    "near_dup_clusters", "section_headers", "section_spans",
+    "near_dup_clusters", "section_headers",
     "uncertain_tokens", "document_rollup", "stage_metrics",
     "review_reasons", "visit_sessionize", "combined_text",
     "minhash_lsh_md5", "excerpt_join", "dedup_audit_rollup",
     "contains_code_lookup", "variant_lookup",
-    # corpus / ANN (oracled tiers + md5 twins)
+    # corpus / ANN (oracled tiers + md5 twins) + training-data prep
     "streaming_dedup", "ngram_jaccard", "quality_scores", "language_id",
     "token_counts", "incremental_dedup", "ann_ivf_oracle", "emb_near_dups",
-    "corpus_dedup_pipeline", "simhash_md5", "fingerprints_md5",
-    "ann_lsh_md5",
+    "corpus_dedup_pipeline",
+    "corpus_profile", "hash_split", "pack_manifest", "corpus_mix",
     # ---- tail: oracled but redundant with queries above ----
     # (boundary_flags/extract_date are exercised inside the scored
     # transcript_pipeline/visit_sessionize/visit_rollup composition
@@ -153,6 +154,24 @@ _QUERY_ORDER = [
     # already emits per turn (same estimator, same rounding, same
     # rows), so its row was pure duplication.  confidence stays
     # oracled below.)
+    # Final round-5 rotation: the five NEW round-5 operators moved INTO
+    # the window so each gets a hard driver row — session_window_rollup
+    # (native session_window twin of the islands sessionize), and the
+    # four training-data-prep operators corpus_profile / hash_split /
+    # pack_manifest / corpus_mix.  Rotated out, all driver-green in r4
+    # and all still oracled below: simhash_md5, fingerprints_md5,
+    # ann_lsh_md5 (three md5 twins of prod corpus tiers; the corpus
+    # family keeps five scored rows incl. minhash_lsh_md5 and the
+    # end-to-end corpus_dedup_pipeline, and the ANN family keeps
+    # ann_ivf_oracle + emb_near_dups); section_spans (sections_expr
+    # runs with identical semantics inside the scored
+    # transcript_pipeline via extract_turns(with_sections=True),
+    # pipeline.py:129, and section_headers — the same dictionary and
+    # boundary validation — stays scored); unclear_chars (A4/A5 counts
+    # ride inside the scored document_rollup, whose row carries
+    # unclear_marker_count + total_chars, rollups.py:121).
+    "simhash_md5", "fingerprints_md5", "ann_lsh_md5",
+    "section_spans", "unclear_chars",
     "normalize", "media_features_docs", "ann_bruteforce",
     "numbered_tokens", "exact_dedup", "confidence",
     "boundary_flags", "extract_date", "mark_unclear", "parse_names",
@@ -160,8 +179,7 @@ _QUERY_ORDER = [
     "region_revenue", "topk_per_group",
     "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
-    "session_window_rollup", "corpus_profile", "hash_split",
-    "pack_manifest", "corpus_mix", "visit_sessionize_skew",
+    "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
     "fingerprints", "ann_lsh", "ann_ivf", "emb_near_dups_lsh",
