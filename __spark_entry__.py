@@ -179,6 +179,10 @@ _QUERY_ORDER = [
     "region_revenue", "topk_per_group",
     "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
+    # round-5 additions past the window cut: both fully oracled below
+    # (decontaminate: eval-set n-gram contamination flags;
+    # repetition_stats: Gopher-style dup-line / top-bigram signals)
+    "decontaminate", "repetition_stats",
     "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
@@ -717,6 +721,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weights = {k: v / 1_000_000 for k, v in _MIX_THRESHOLDS.items()}
         return corpus.corpus_mix(d, weights).select("doc_id", "source")
     q["corpus_mix"] = q_corpus_mix
+
+    def q_decontaminate(spark, sf):
+        """Eval-set decontamination: a deterministic 5% md5-bucket of
+        documents plays the benchmark set ('eval-v1' salt — disjoint
+        from the corpus side by the same predicate); the remaining 95%
+        is scanned for any shared 4-gram.  Full per-doc flag table
+        (hit counts + sorted matched eval ids) value-hash-oracled."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.corpus import (
+            _hash_bucket,
+            decontaminate,
+        )
+        d = _read(spark, sf, "documents")
+        eb = _hash_bucket("eval-v1", F.col("doc_id"))
+        return decontaminate(
+            d.filter(eb >= 50_000), d.filter(eb < 50_000), shingle_n=4
+        )
+    q["decontaminate"] = q_decontaminate
+
+    def q_repetition_stats(spark, sf):
+        """Gopher-style repetition signals over documents re-chunked
+        into 2-word lines (deterministic expression replicated in the
+        oracle — the raw synthetic docs are single-line, so chunking
+        gives the line-level stats real duplicates to find)."""
+        d = _read(spark, sf, "documents")
+        words = F.split(corpus.norm_text(F.col("text")), " ")
+        nlines = F.ceil(F.size(words).cast("double") / 2).cast("int")
+        chunked = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nlines, F.lit(1))),
+                lambda i: F.array_join(F.slice(words, (i - 1) * 2 + 1, 2), " "),
+            ),
+            "\n",
+        )
+        return corpus.repetition_stats(d.select("doc_id", chunked.alias("text")))
+    q["repetition_stats"] = q_repetition_stats
 
     def q_topk_per_group(spark, sf):
         from pyspark.sql import Window
@@ -3987,6 +4026,106 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0 END AS thr
               FROM documents
             ) WHERE b < thr
+        """,
+        # same 'eval-v1' md5 bucket splits eval vs corpus; shared
+        # distinct 4-grams via the ngram_jaccard shingle SQL; numeric
+        # sort of eval ids before the comma join matches Spark's
+        # array_sort-on-longs-then-stringify
+        "decontaminate": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(words) - 3 > 0
+                       THEN list_transform(range(1, len(words) - 2),
+                            i -> array_to_string(words[i:i+3], ' '))
+                       ELSE [array_to_string(words, ' ')] END) AS shingles,
+                CAST(concat('0x', substr(md5('eval-v1' || ':' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS eb
+              FROM (
+                SELECT doc_id,
+                  regexp_split_to_array(trim(regexp_replace(lower(coalesce(text, '')),
+                      '[\s\x0b]+', ' ', 'g')), ' ') AS words
+                FROM documents
+              )
+            ), ev AS (
+              SELECT doc_id AS eval_id, unnest(shingles) AS gram
+              FROM sh WHERE eb < 50000
+            ), co AS (
+              SELECT doc_id, unnest(shingles) AS gram
+              FROM sh WHERE eb >= 50000
+            ), hits AS (
+              SELECT co.doc_id,
+                count(DISTINCT co.gram) AS n_hit_shingles,
+                array_to_string(list_sort(list(DISTINCT ev.eval_id)), ',')
+                  AS matched_evals
+              FROM co JOIN ev ON co.gram = ev.gram
+              GROUP BY co.doc_id
+            )
+            SELECT s.doc_id,
+              CAST(coalesce(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+              coalesce(h.matched_evals, '') AS matched_evals,
+              coalesce(h.n_hit_shingles, 0) > 0 AS contaminated
+            FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+            WHERE s.eb >= 50000
+        """,
+        # 2-word line chunking replicated from q_repetition_stats;
+        # duplicate-line and top-bigram stats via unnest + group by
+        "repetition_stats": r"""
+            WITH w AS (
+              SELECT doc_id,
+                regexp_split_to_array(trim(regexp_replace(lower(coalesce(text, '')),
+                    '[\s\x0b]+', ' ', 'g')), ' ') AS words
+              FROM documents
+            ), chunked AS (
+              SELECT doc_id,
+                array_to_string(list_transform(
+                  range(1, greatest(CAST(ceil(len(words) / 2.0) AS INT), 1) + 1),
+                  i -> array_to_string(words[(i-1)*2+1:(i-1)*2+2], ' ')),
+                  chr(10)) AS text
+              FROM w
+            ), l AS (
+              SELECT doc_id, trim(line) AS line FROM (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM chunked)
+              WHERE trim(line) <> ''
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS cnt, len(line) AS chars
+              FROM l GROUP BY doc_id, line
+            ), la AS (
+              SELECT doc_id,
+                CAST(sum(cnt) AS BIGINT) AS n_lines,
+                CAST(count(*) AS BIGINT) AS n_distinct_lines,
+                CAST(sum((cnt - 1) * chars) AS BIGINT) AS dup_chars,
+                CAST(sum(cnt * chars) AS BIGINT) AS tot_chars
+              FROM lc GROUP BY doc_id
+            ), bg AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(words)),
+                  i -> array_to_string(words[i:i+1], ' '))) AS bigram
+              FROM w WHERE len(words) > 1
+            ), bc AS (
+              SELECT doc_id, bigram, count(*) AS cnt
+              FROM bg GROUP BY doc_id, bigram
+            ), ba AS (
+              SELECT doc_id,
+                CAST(max(cnt) AS BIGINT) AS top_bigram_count,
+                CAST(sum(cnt) AS BIGINT) AS n_bigrams
+              FROM bc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              coalesce(la.n_lines, 0) AS n_lines,
+              coalesce(la.n_distinct_lines, 0) AS n_distinct_lines,
+              coalesce(round(CAST(la.n_lines - la.n_distinct_lines AS DOUBLE)
+                  / la.n_lines, 6), 0.0) AS dup_line_fraction,
+              coalesce(round(CASE WHEN la.tot_chars > 0
+                  THEN CAST(la.dup_chars AS DOUBLE) / la.tot_chars
+                  ELSE 0.0 END, 6), 0.0) AS dup_char_fraction,
+              coalesce(ba.top_bigram_count, 0) AS top_bigram_count,
+              coalesce(round(CAST(ba.top_bigram_count AS DOUBLE)
+                  / ba.n_bigrams, 6), 0.0) AS top_bigram_fraction
+            FROM documents d
+            LEFT JOIN la ON d.doc_id = la.doc_id
+            LEFT JOIN ba ON d.doc_id = ba.doc_id
         """,
         # exclusive prefix sum of the same BPE-ish token counts as
         # token_counts; bin ids by BIGINT integer division (// in

@@ -791,3 +791,156 @@ def corpus_mix(documents: DataFrame, weights: dict, key: str = "doc_id",
         F.lit(int(round(default_rate * 1_000_000))),
     )
     return documents.filter(_hash_bucket(salt, F.col(key)) < thr)
+
+
+# ---------------------------------------------------------------------------
+# 9. eval-set decontamination + intra-document repetition signals
+# ---------------------------------------------------------------------------
+
+def decontaminate(documents: DataFrame, eval_docs: DataFrame,
+                  shingle_n: int = 5, text: str = "text",
+                  eval_id: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    word n-gram with an eval/benchmark document — the hygiene pass
+    every pretraining corpus runs so test-set text cannot leak into
+    training data.  The reference's analog is its exact/fuzzy overlap
+    detection between entries (deduplication_service.py:101-480); here
+    the "duplicate" partner is an EXTERNAL eval set rather than a
+    sibling entry.
+
+    Returns one row per corpus document: ``n_hit_shingles`` (distinct
+    shared n-grams), ``matched_evals`` (sorted comma-joined eval ids),
+    ``contaminated`` (any hit).
+
+    100 TB notes:
+
+    * eval sets are tiny relative to the corpus (benchmarks are 1e4..
+      1e6 docs), so the eval shingle table is explicitly
+      ``F.broadcast`` — the corpus side streams through a broadcast
+      hash join with ZERO shuffle; only the HIT rows (a small
+      fraction by construction) reach the per-doc aggregation, keyed
+      on uniform doc_id.
+    * grams join on their md5 (fixed 32-char key) instead of the raw
+      n-gram string, so join-key width is bounded regardless of gram
+      length.
+    * the final left join marks non-hit documents; AQE converts it to
+      a broadcast join at runtime when the hit table is small (the
+      normal case).  Shingling reuses the engine-portable
+      word_shingles (distinct grams per doc — multiplicity is
+      irrelevant to a contamination flag).
+    """
+    doc_sh = documents.select(
+        "doc_id",
+        F.explode(word_shingles(F.col(text), shingle_n)).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("g"))
+    ev_sh = eval_docs.select(
+        F.col(eval_id).alias("eval_id"),
+        F.explode(word_shingles(F.col(text), shingle_n)).alias("gram"),
+    ).select("eval_id", F.md5("gram").alias("g")).dropDuplicates(
+        ["eval_id", "g"]
+    )
+    hits = (
+        doc_sh.join(F.broadcast(ev_sh), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_hit_shingles"),
+            F.array_join(F.array_sort(F.collect_set("eval_id")), ",")
+            .alias("matched_evals"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_shingles", F.lit(0)).cast("long")
+            .alias("n_hit_shingles"),
+            F.coalesce("matched_evals", F.lit("")).alias("matched_evals"),
+            (F.coalesce("n_hit_shingles", F.lit(0)) > 0)
+            .alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(documents: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals, the quality
+    filter that catches boilerplate-looped and generation-degenerate
+    documents: per doc, duplicate-line fraction (occurrences beyond a
+    line's first), duplicate-line CHARACTER fraction (weight long
+    repeated lines), and the most-frequent-bigram share of all
+    bigrams.  Extends the reference's page-level quality probes
+    (ocr_service.py:304-364 penalizes repeated-marker density) from a
+    score penalty to standalone filterable columns.
+
+    100 TB notes: no per-doc O(n^2) HOF scans — lines and bigrams are
+    exploded and counted via groupBy, so a pathological million-line
+    document costs O(n log n) across the cluster instead of O(n^2) on
+    one task.  Both aggregations key on (doc_id, item) then doc_id —
+    uniform hash keys, map-side partial aggregation; the two feature
+    tables join back to the doc spine on doc_id.  Fractions are
+    round(x, 6) doubles for engine-portable comparisons.
+    """
+    base = documents.select("doc_id")
+    line = F.trim(F.col("raw"))
+    line_counts = (
+        documents.select(
+            "doc_id",
+            F.explode(F.split(F.coalesce(F.col(text), F.lit("")), "\n"))
+            .alias("raw"),
+        )
+        .select("doc_id", line.alias("line"))
+        .filter(F.col("line") != "")
+        .groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.length("line").cast("long")
+    line_agg = line_counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_lines"),
+        F.sum((F.col("cnt") - 1) * chars).cast("long").alias("dup_chars"),
+        F.sum(F.col("cnt") * chars).cast("long").alias("tot_chars"),
+    )
+    words = F.split(norm_text(F.col(text)), " ")
+    nb = F.size(words) - 1
+    bigrams = F.when(
+        nb > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nb, F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigram_agg = (
+        documents.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").cast("long").alias("top_bigram_count"),
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+        )
+    )
+    frac = lambda num, den: F.round(
+        F.when(
+            F.coalesce(den, F.lit(0)) > 0,
+            num.cast("double") / den,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        base.join(line_agg, "doc_id", "left")
+        .join(bigram_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_distinct_lines", F.lit(0)).cast("long")
+            .alias("n_distinct_lines"),
+            frac(F.col("n_lines") - F.col("n_distinct_lines"), F.col("n_lines"))
+            .alias("dup_line_fraction"),
+            frac(F.col("dup_chars"), F.col("tot_chars"))
+            .alias("dup_char_fraction"),
+            F.coalesce("top_bigram_count", F.lit(0)).cast("long")
+            .alias("top_bigram_count"),
+            frac(F.col("top_bigram_count"), F.col("n_bigrams"))
+            .alias("top_bigram_fraction"),
+        )
+    )
