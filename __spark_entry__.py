@@ -182,7 +182,7 @@ _QUERY_ORDER = [
     # round-5 additions past the window cut: both fully oracled below
     # (decontaminate: eval-set n-gram contamination flags;
     # repetition_stats: Gopher-style dup-line / top-bigram signals)
-    "decontaminate", "repetition_stats",
+    "decontaminate", "repetition_stats", "redact_pii",
     "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
@@ -756,6 +756,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return corpus.repetition_stats(d.select("doc_id", chunked.alias("text")))
     q["repetition_stats"] = q_repetition_stats
+
+    def q_redact_pii(spark, sf):
+        """PII scrubbing over documents with deterministic PII planted
+        on every 5th doc (the synthetic corpus contains none) — the
+        injection expression is replicated verbatim in the oracle.
+        Full redacted text + per-kind counts value-hash-oracled."""
+        d = _read(spark, sf, "documents")
+        injected = F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text"))
+        return corpus.redact_pii(d.select("doc_id", injected.alias("text")))
+    q["redact_pii"] = q_redact_pii
 
     def q_topk_per_group(spark, sf):
         from pyspark.sql import Window
@@ -4067,6 +4085,45 @@ def oracle_sql() -> dict[str, str]:
               coalesce(h.n_hit_shingles, 0) > 0 AS contaminated
             FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
             WHERE s.eb >= 50000
+        """,
+        # PII planted on every 5th doc (injection replicated from
+        # q_redact_pii); each kind counted on the text AFTER the
+        # previous kinds' global replacements, matching redact_pii's
+        # staged count-then-replace chain
+        "redact_pii": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0
+                     THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-123-4567 ssn 123-45-6789'
+                     ELSE text END AS t
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(coalesce(t, ''),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_emails,
+                regexp_replace(coalesce(t, ''),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '[EMAIL]', 'g') AS t
+              FROM inj
+            ), s2 AS (
+              SELECT doc_id, n_emails,
+                CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+                    AS BIGINT) AS n_phones,
+                regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+                    '[PHONE]', 'g') AS t
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_emails, n_phones,
+                CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+                    AS BIGINT) AS n_ssns,
+                regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t
+              FROM s2
+            )
+            SELECT doc_id, t AS text, n_emails, n_phones, n_ssns,
+              (n_emails + n_phones + n_ssns) > 0 AS has_pii
+            FROM s3
         """,
         # 2-word line chunking replicated from q_repetition_stats;
         # duplicate-line and top-bigram stats via unnest + group by

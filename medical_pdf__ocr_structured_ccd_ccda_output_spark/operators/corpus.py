@@ -944,3 +944,51 @@ def repetition_stats(documents: DataFrame, text: str = "text") -> DataFrame:
             .alias("top_bigram_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. PII scrubbing
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    # order matters: emails first (their local parts can contain digits
+    # that the phone pattern would otherwise nibble), then phones, then
+    # SSNs.  Conservative RE2-compatible regexes — identical semantics
+    # under Java regex (Spark) and RE2 (DuckDB oracle).
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+)
+
+
+def redact_pii(documents: DataFrame, text: str = "text") -> DataFrame:
+    """PII scrubbing pass: replace emails / phone numbers / SSNs with
+    typed placeholders and count what was redacted — the privacy-
+    hygiene stage a training corpus runs before anything else sees the
+    text.  Extends the reference's unclear-marker substitution pattern
+    (variant_preservation.py:170-185 rewrites spans to typed '[...]'
+    placeholders) from legibility markers to privacy redaction.
+
+    Returns (doc_id, redacted text, per-kind counts, has_pii).  Pure
+    projection — chained JVM regexp_replace/regexp_count inside
+    whole-stage codegen, zero shuffle, zero Python; at 100 TB this is
+    a scan-time map that fuses with whatever stage follows it.  Each
+    kind is counted on the text as it stands AFTER the previous kinds'
+    replacements, so every counted span is exactly a span the matching
+    replacement claimed (a digit run inside an email can never also be
+    counted as a phone).
+    """
+    red = F.coalesce(F.col(text), F.lit(""))
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{kind}s")
+        )
+        red = F.regexp_replace(red, pat, repl)
+    total = None
+    for kind, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{kind}s")
+        total = c if total is None else total + c
+    return documents.select(
+        "doc_id", red.alias("text"), *counts
+    ).withColumn("has_pii", total > 0)
