@@ -102,8 +102,9 @@ _QUERY_ORDER = [
     # extraction rules / sessionize / joins / rollups (SURVEY §2)
     "clean_extract", "layout_hints",
     "near_dup_clusters", "section_headers",
-    "uncertain_tokens", "document_rollup", "stage_metrics",
-    "review_reasons", "visit_sessionize", "combined_text",
+    "uncertain_tokens", "document_rollup",
+    "decontaminate", "repetition_stats", "redact_pii",
+    "visit_sessionize",
     "minhash_lsh_md5", "excerpt_join", "dedup_audit_rollup",
     "contains_code_lookup", "variant_lookup",
     # corpus / ANN (oracled tiers + md5 twins) + training-data prep
@@ -170,6 +171,22 @@ _QUERY_ORDER = [
     # boundary validation — stays scored); unclear_chars (A4/A5 counts
     # ride inside the scored document_rollup, whose row carries
     # unclear_marker_count + total_chars, rollups.py:121).
+    # Last round-5 rotation: the three corpus-hygiene operators added
+    # after the previous rotation — decontaminate (eval-set n-gram
+    # contamination flags), repetition_stats (Gopher-style dup-line /
+    # top-bigram signals), redact_pii (typed-placeholder PII scrubbing)
+    # — moved INTO the window so each new operator carries a hard
+    # driver row in its debut round.  Rotated out, all driver-green in
+    # r4 and all still oracled below: stage_metrics (A2's
+    # successful-page count and the review-page count ride inside the
+    # scored document_rollup row, rollups.py:81; only the long-format
+    # A14 presentation leaves the window), review_reasons (the scored
+    # document_rollup emits review_reasons_sorted — the flattened sorted
+    # set of exactly these per-turn P5 reason strings), combined_text
+    # (S7's ordered-collect_list-concat shape is exercised by the scored
+    # human_doc/ccd_xml renderers, which build their per-document
+    # strings through the same ordered text aggregation).
+    "stage_metrics", "review_reasons", "combined_text",
     "simhash_md5", "fingerprints_md5", "ann_lsh_md5",
     "section_spans", "unclear_chars",
     "normalize", "media_features_docs", "ann_bruteforce",
@@ -179,10 +196,6 @@ _QUERY_ORDER = [
     "region_revenue", "topk_per_group",
     "top_orders", "pricing_summary", "top_suppliers",
     "promo_revenue", "user_stats", "sessionize_events",
-    # round-5 additions past the window cut: both fully oracled below
-    # (decontaminate: eval-set n-gram contamination flags;
-    # repetition_stats: Gopher-style dup-line / top-bigram signals)
-    "decontaminate", "repetition_stats", "redact_pii",
     "visit_sessionize_skew",
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",

@@ -182,6 +182,10 @@ def main():
         # round-4: the staged corpus-dedup DAG + the incremental
         # batch-vs-index path (production xxhash64 tiers)
         "corpus_dedup_pipeline_prod", "incremental_dedup_prod",
+        # round-5: training-data prep + hygiene + native sessions
+        "corpus_profile", "hash_split", "pack_manifest", "corpus_mix",
+        "decontaminate", "repetition_stats", "redact_pii",
+        "session_window_rollup",
     ]:
         df = qs[name](spark, SF_DIR)
         _materialize(df)
