@@ -100,7 +100,7 @@ _QUERY_ORDER = [
     "problems_merge", "lab_conflicts",
     "schema_warnings", "encounter_type", "data_quality",
     # extraction rules / sessionize / joins / rollups (SURVEY §2)
-    "clean_extract", "layout_hints",
+    "layout_hints",
     "near_dup_clusters", "section_headers",
     "uncertain_tokens", "document_rollup",
     "decontaminate", "repetition_stats", "redact_pii",
@@ -112,6 +112,7 @@ _QUERY_ORDER = [
     "token_counts", "incremental_dedup", "ann_ivf_oracle", "emb_near_dups",
     "corpus_dedup_pipeline",
     "corpus_profile", "hash_split", "pack_manifest", "corpus_mix",
+    "top_ngrams",
     # ---- tail: oracled but redundant with queries above ----
     # (boundary_flags/extract_date are exercised inside the scored
     # transcript_pipeline/visit_sessionize/visit_rollup composition
@@ -185,8 +186,13 @@ _QUERY_ORDER = [
     # set of exactly these per-turn P5 reason strings), combined_text
     # (S7's ordered-collect_list-concat shape is exercised by the scored
     # human_doc/ccd_xml renderers, which build their per-document
-    # strings through the same ordered text aggregation).
-    "stage_metrics", "review_reasons", "combined_text",
+    # strings through the same ordered text aggregation).  top_ngrams
+    # (the corpus-wide heavy-hitters miner, new this round) took
+    # clean_extract's slot: the S5 extractor it ran is exercised
+    # verbatim by TWO still-scored queries — transcript_pipeline calls
+    # the same extract_turns stage, and streaming_extract replays the
+    # identical per-turn extraction through a real stream.
+    "stage_metrics", "review_reasons", "combined_text", "clean_extract",
     "simhash_md5", "fingerprints_md5", "ann_lsh_md5",
     "section_spans", "unclear_chars",
     "normalize", "media_features_docs", "ann_bruteforce",
@@ -787,6 +793,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).otherwise(F.col("text"))
         return corpus.redact_pii(d.select("doc_id", injected.alias("text")))
     q["redact_pii"] = q_redact_pii
+
+    def q_top_ngrams(spark, sf):
+        """Corpus-wide heavy hitters: top-100 word trigrams appearing
+        in >=2 documents, with occurrence + document frequencies.  The
+        (occurrences DESC, ngram ASC) order is total (ngram is unique
+        after the groupBy), so both engines select the identical k
+        rows.  Full result value-hash-oracled."""
+        d = _read(spark, sf, "documents")
+        return corpus.top_ngrams(d, n=3, k=100, min_docs=2)
+    q["top_ngrams"] = q_top_ngrams
 
     def q_topk_per_group(spark, sf):
         from pyspark.sql import Window
@@ -4196,6 +4212,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN la ON d.doc_id = la.doc_id
             LEFT JOIN ba ON d.doc_id = ba.doc_id
+        """,
+        # corpus-wide top-100 trigrams: same normalization class as the
+        # other corpus oracles; (occurrences DESC, ngram ASC) is a
+        # total order so LIMIT selects the identical rows in both
+        # engines
+        "top_ngrams": r"""
+            WITH w AS (
+              SELECT doc_id,
+                regexp_split_to_array(trim(regexp_replace(lower(coalesce(text, '')),
+                    '[\s\x0b]+', ' ', 'g')), ' ') AS words
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(words) - 1),
+                  i -> array_to_string(words[i:i+2], ' '))) AS ngram
+              FROM w WHERE len(words) >= 3
+            ), dc AS (
+              SELECT doc_id, ngram, count(*) AS cnt
+              FROM g GROUP BY doc_id, ngram
+            ), a AS (
+              SELECT ngram,
+                CAST(sum(cnt) AS BIGINT) AS occurrences,
+                CAST(count(*) AS BIGINT) AS doc_freq
+              FROM dc GROUP BY ngram
+            )
+            SELECT ngram, occurrences, doc_freq FROM a
+            WHERE doc_freq >= 2
+            ORDER BY occurrences DESC, ngram ASC
+            LIMIT 100
         """,
         # exclusive prefix sum of the same BPE-ish token counts as
         # token_counts; bin ids by BIGINT integer division (// in

@@ -992,3 +992,72 @@ def redact_pii(documents: DataFrame, text: str = "text") -> DataFrame:
     return documents.select(
         "doc_id", red.alias("text"), *counts
     ).withColumn("has_pii", total > 0)
+
+
+# ---------------------------------------------------------------------------
+# 11. corpus-wide heavy hitters (frequent n-grams)
+# ---------------------------------------------------------------------------
+
+def top_ngrams(documents: DataFrame, n: int = 3, k: int = 100,
+               min_docs: int = 2, text: str = "text") -> DataFrame:
+    """Corpus-wide frequent word n-grams: the k most common n-grams
+    with total occurrences and document frequency — the boilerplate-
+    mining primitive a training corpus runs to find template headers,
+    license banners and navigation chrome worth stripping before
+    training.  Extends the reference's fixed marker dictionaries
+    (ocr_service.py:366-420 counts KNOWN handwriting/abbreviation
+    markers) to discovering the corpus's own repeated phrases.
+
+    Normalization and n-gram construction share word_shingles' exact
+    semantics (lower + ASCII-whitespace collapse, space-joined word
+    windows); docs shorter than n words contribute nothing.  Rows with
+    doc_freq < min_docs are dropped (a phrase repeated only inside one
+    document is repetition_stats' signal, not a corpus-wide one).
+
+    100 TB notes: per-document gram COUNTING happens inside the Arrow
+    batch (a local dict per doc), so the only shuffle is the final
+    groupBy(ngram) — and it receives at most one (ngram, cnt) row per
+    (doc, ngram), already pre-reduced, with map-side partial
+    aggregation shrinking it further to ~one row per distinct ngram
+    per task.  Natural-language gram keys are Zipf-skewed, but a SUM
+    over partial aggregates has no hot-key problem — every task emits
+    one partial row for "of the and" regardless of its local count.
+    The top-k is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject: a per-partition k-heap merged on the
+    driver, never a global sort.  The gram emitter is Arrow-batched
+    for the same reason word_shingles_udf exists (the interpreted
+    transform/sequence/slice HOF chain is ~10x slower at width).
+    """
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    # mirrors norm_text / word_shingles_udf: Java-\s ASCII class +
+    # space-only strip, so the DuckDB '[\s\x0b]+' oracle and the
+    # expression tier agree on NBSP/NEL/Z* whitespace
+    ws = _re.compile("[ \t\n\x0b\f\r]+")
+
+    @pandas_udf("map<string,long>")
+    def _gram_counts(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = ws.sub(" ", (t or "").lower()).strip(" ").split(" ")
+            counts: dict = {}
+            for i in range(len(words) - n + 1):
+                g = " ".join(words[i:i + n])
+                counts[g] = counts.get(g, 0) + 1
+            out.append(counts)
+        return pd.Series(out)
+
+    return (
+        documents
+        .select(F.explode(_gram_counts(F.col(text))).alias("ngram", "cnt"))
+        .groupBy("ngram")
+        .agg(
+            F.sum("cnt").cast("long").alias("occurrences"),
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        )
+        .filter(F.col("doc_freq") >= min_docs)
+        .orderBy(F.col("occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
