@@ -185,7 +185,7 @@ def main():
         # round-5: training-data prep + hygiene + native sessions
         "corpus_profile", "hash_split", "pack_manifest", "corpus_mix",
         "decontaminate", "repetition_stats", "redact_pii",
-        "session_window_rollup", "top_ngrams",
+        "session_window_rollup", "top_ngrams", "salient_terms",
     ]:
         df = qs[name](spark, SF_DIR)
         _materialize(df)

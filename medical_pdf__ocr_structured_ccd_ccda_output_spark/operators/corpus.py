@@ -998,6 +998,38 @@ def redact_pii(documents: DataFrame, text: str = "text") -> DataFrame:
 # 11. corpus-wide heavy hitters (frequent n-grams)
 # ---------------------------------------------------------------------------
 
+def word_gram_counts_udf(n: int):
+    """Arrow-batched per-document word n-gram COUNTER: text ->
+    map<ngram, count> with multiplicity (the counting twin of
+    word_shingles_udf's distinct-set emitter).  Counting inside the
+    batch means downstream explodes carry one pre-reduced row per
+    (doc, gram) instead of one per occurrence.  Normalization mirrors
+    norm_text exactly (Java-\\s ASCII class + space-only strip), so
+    the DuckDB '[\\s\\x0b]+' oracles and the expression tier agree on
+    NBSP/NEL/Z* whitespace.  Docs shorter than n words emit an empty
+    map; for n=1 an empty/null doc emits {'': 1} — callers filter the
+    empty gram."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = _re.compile("[ \t\n\x0b\f\r]+")
+
+    @pandas_udf("map<string,long>")
+    def _gram_counts(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = ws.sub(" ", (t or "").lower()).strip(" ").split(" ")
+            counts: dict = {}
+            for i in range(len(words) - n + 1):
+                g = " ".join(words[i:i + n])
+                counts[g] = counts.get(g, 0) + 1
+            out.append(counts)
+        return pd.Series(out)
+
+    return _gram_counts
+
+
 def top_ngrams(documents: DataFrame, n: int = 3, k: int = 100,
                min_docs: int = 2, text: str = "text") -> DataFrame:
     """Corpus-wide frequent word n-grams: the k most common n-grams
@@ -1028,30 +1060,10 @@ def top_ngrams(documents: DataFrame, n: int = 3, k: int = 100,
     for the same reason word_shingles_udf exists (the interpreted
     transform/sequence/slice HOF chain is ~10x slower at width).
     """
-    import re as _re
-
-    from pyspark.sql.functions import pandas_udf
-
-    # mirrors norm_text / word_shingles_udf: Java-\s ASCII class +
-    # space-only strip, so the DuckDB '[\s\x0b]+' oracle and the
-    # expression tier agree on NBSP/NEL/Z* whitespace
-    ws = _re.compile("[ \t\n\x0b\f\r]+")
-
-    @pandas_udf("map<string,long>")
-    def _gram_counts(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            words = ws.sub(" ", (t or "").lower()).strip(" ").split(" ")
-            counts: dict = {}
-            for i in range(len(words) - n + 1):
-                g = " ".join(words[i:i + n])
-                counts[g] = counts.get(g, 0) + 1
-            out.append(counts)
-        return pd.Series(out)
-
     return (
         documents
-        .select(F.explode(_gram_counts(F.col(text))).alias("ngram", "cnt"))
+        .select(F.explode(word_gram_counts_udf(n)(F.col(text)))
+                .alias("ngram", "cnt"))
         .groupBy("ngram")
         .agg(
             F.sum("cnt").cast("long").alias("occurrences"),
@@ -1060,4 +1072,73 @@ def top_ngrams(documents: DataFrame, n: int = 3, k: int = 100,
         .filter(F.col("doc_freq") >= min_docs)
         .orderBy(F.col("occurrences").desc(), F.col("ngram").asc())
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. per-document salient terms (tf-idf-style keyword extraction)
+# ---------------------------------------------------------------------------
+
+def salient_terms(documents: DataFrame, k: int = 5,
+                  text: str = "text") -> DataFrame:
+    """Per-document top-k distinctive terms: rank each document's
+    words by tf * N / df (term frequency scaled by inverse document
+    frequency) — the keyword-extraction primitive a corpus pipeline
+    uses for topic tagging and stratified sampling.  Extends the
+    reference's fixed section keyword dictionaries
+    (ocr_service.py:592-598 matches a curated 16-entry vocabulary) to
+    per-document vocabulary discovered from corpus statistics.
+
+    The score is tf*N/df rather than the textbook tf*ln(N/df) by
+    design: tf*N is an exact BIGINT product and the single division is
+    IEEE-754 correctly rounded, so Spark (JVM) and any oracle engine
+    produce bit-identical doubles — ln is only faithfully rounded per
+    libm and may differ in the last ulp across engines.  N/df is a
+    strictly monotone transform of ln(N/df), so the RANKING is the
+    classical tf-idf ranking; ties break on term ASC (total order:
+    terms are unique per document).
+
+    100 TB notes: three bounded shuffles. (1) Per-doc term counts come
+    pre-reduced out of the Arrow batch (word_gram_counts_udf(1)) — no
+    per-occurrence explode.  (2) df = groupBy(term): Zipf-hot keys,
+    but each doc contributes at most ONE row per term and map-side
+    partial counts collapse those to ~one row per distinct term per
+    task before the wire.  (3) The tf-side join to df is an equi-join
+    on term (1 df row per key — no fan-out; AQE splits oversized "the"
+    partitions), and N joins in as a broadcast single-row aggregate.
+    (4) top-k per doc is a row_number window over doc_id — uniform
+    keys, state = one k-heap per doc per partition.  The tf subtree
+    feeds both the df branch and the join probe, so the scan + Arrow
+    pass runs twice; at 100 TB either accept the recompute (one cheap
+    map pass) or persist tf between the branches.
+    """
+    tf = (
+        documents
+        .select(F.col("doc_id"),
+                F.explode(word_gram_counts_udf(1)(F.col(text)))
+                .alias("term", "tf"))
+        .filter(F.col("term") != "")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term",
+                F.col("tf").cast("long").alias("tf"),
+                "df",
+                # rank on the exact quotient, EMIT round-6 (house style
+                # for cross-engine double comparison)
+                F.round("score", 6).alias("score"))
     )
