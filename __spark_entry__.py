@@ -74,6 +74,18 @@ from medical_pdf__ocr_structured_ccd_ccda_output_spark.renderers.xml import (
 
 NL = "\n"
 
+# Shared excerpt for the containment_pairs planted corpus (the
+# synthetic documents carry exact duplicates but no doc-inside-doc
+# embeddings); injected identically in q_containment_pairs and its
+# oracle.  40 plain lowercase words, no SQL-significant characters.
+_CONTAIN_EXCERPT = (
+    "the committee reviewed the proposed amendments in detail and "
+    "concluded that further clarification would be required before any "
+    "final determination could be issued regarding the scope of "
+    "coverage and the timeline for implementation across all "
+    "participating facilities"
+)
+
 # shared by q_corpus_mix and its oracle: per-source keep thresholds in
 # millionths (pure ints so the Spark map literal and the SQL CASE chain
 # are generated from identical values)
@@ -197,7 +209,11 @@ _QUERY_ORDER = [
     # for its §2 operator, so nothing left is redundant enough to
     # rotate; it is fully oracled below (value-hash-green at sf0.01
     # and sf0.1 via tools/check_oracles.py) and pytest-pinned.
-    "salient_terms",
+    # containment_pairs (asymmetric doc-inside-doc copy detection over
+    # the winnowing fingerprints, round-5) likewise lands past the cut
+    # for the same reason; fully oracled below on a planted-excerpt
+    # corpus and pytest-pinned (tests/test_containment.py).
+    "salient_terms", "containment_pairs",
     "stage_metrics", "review_reasons", "combined_text", "clean_extract",
     "simhash_md5", "fingerprints_md5", "ann_lsh_md5",
     "section_spans", "unclear_chars",
@@ -819,6 +835,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _read(spark, sf, "documents")
         return corpus.salient_terms(d, k=5)
     q["salient_terms"] = q_salient_terms
+
+    def q_containment_pairs(spark, sf):
+        """MOSS-style asymmetric copy detection over winnowing
+        fingerprints (md5 tier), on a planted corpus: every doc with
+        doc_id % 41 == 5 becomes a pure copy of a shared excerpt and
+        every doc with % 41 == 6 embeds the excerpt at the end of its
+        own text — the doc-inside-doc case symmetric Jaccard misses.
+        Full (pair, counts, both containment fractions) table
+        value-hash-oracled."""
+        d = _read(spark, sf, "documents")
+        injected = (
+            F.when(F.col("doc_id") % 41 == 5, F.lit(_CONTAIN_EXCERPT))
+            .when(F.col("doc_id") % 41 == 6,
+                  F.concat(F.coalesce(F.col("text"), F.lit("")),
+                           F.lit(" " + _CONTAIN_EXCERPT)))
+            .otherwise(F.col("text"))
+        )
+        return corpus.containment_pairs(
+            d.select("doc_id", injected.alias("text")),
+            min_containment=0.5, hash_fn="md5")
+    q["containment_pairs"] = q_containment_pairs
 
     def q_topk_per_group(spark, sf):
         from pyspark.sql import Window
@@ -4286,6 +4323,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
             FROM s WHERE rank <= 5
+        """,
+        # containment over winnowing fingerprints (k=5 grams, window=4,
+        # md5 tier — same CTE shape as fingerprints_md5) on the planted
+        # corpus replicated from q_containment_pairs; the cut runs on
+        # the exact quotients, emitted fractions round-6
+        "containment_pairs": rf"""
+            WITH base AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 41 = 5 THEN '{_CONTAIN_EXCERPT}'
+                     WHEN doc_id % 41 = 6
+                       THEN coalesce(text, '') || ' ' || '{_CONTAIN_EXCERPT}'
+                     ELSE text END AS text
+              FROM documents
+            ), words AS (
+              SELECT doc_id,
+                regexp_split_to_array(trim(regexp_replace(lower(coalesce(text, '')),
+                    '[\s\x0b]+', ' ', 'g')), ' ') AS words
+              FROM base
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN len(words) - 4 > 0
+                     THEN list_transform(range(1, len(words) - 3),
+                          i -> array_to_string(words[i:i+4], ' '))
+                     ELSE [array_to_string(words, ' ')] END AS grams
+              FROM words
+            ), h AS (
+              SELECT doc_id, list_transform(grams, g -> md5(g)) AS hs FROM sh
+            ), fp AS (
+              SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(hs) - 3 > 0
+                       THEN list_transform(range(1, len(hs) - 2),
+                            i -> list_min(hs[i:i+3]))
+                       ELSE [list_min(hs)] END) AS fps
+              FROM h
+            ), ex AS (
+              SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM fp
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.n_fp AS n_fp_a, b.n_fp AS n_fp_b,
+                CAST(count(*) AS BIGINT) AS n_common
+              FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_a, doc_b, n_common,
+              CAST(n_fp_a AS BIGINT) AS n_fp_a,
+              CAST(n_fp_b AS BIGINT) AS n_fp_b,
+              round(CAST(n_common AS DOUBLE) / n_fp_a, 6) AS containment_a_in_b,
+              round(CAST(n_common AS DOUBLE) / n_fp_b, 6) AS containment_b_in_a
+            FROM pairs
+            WHERE greatest(CAST(n_common AS DOUBLE) / n_fp_a,
+                           CAST(n_common AS DOUBLE) / n_fp_b) >= 0.5
         """,
         # exclusive prefix sum of the same BPE-ish token counts as
         # token_counts; bin ids by BIGINT integer division (// in

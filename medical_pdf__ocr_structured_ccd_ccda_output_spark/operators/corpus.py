@@ -606,25 +606,47 @@ def fingerprints(documents: DataFrame, k: int = 5, window: int = 4,
     # "all hashes but the window-1 largest" (no size reduction), and
     # dedup collapses repeated grams that should anchor separate
     # windows.
-    words = F.split(norm_text(F.col("text")), " ")
-    nw = F.size(words) - (k - 1)
+    #
+    # The sliding windows are built in STAGED selects so each lambda
+    # body only touches bound COLUMNS, never a computed expression:
+    # higher-order functions are CodegenFallback and re-evaluate any
+    # non-lambda-variable subtree once PER ELEMENT, so a single inline
+    # expression (slice(hashes, i, w) with `hashes` itself a
+    # transform(...md5...)) rebuilds the full n-gram hash array for
+    # every one of the n windows — O(n^2) md5 calls per document
+    # (measured 22.8 s for 500 docs at sf0.01; staged: <1 s).  The
+    # intermediate aliases are each referenced several times in the
+    # next stage, which is exactly the condition under which
+    # CollapseProject keeps them materialized per row instead of
+    # inlining them back into the lambda.
+    words = documents.select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("_words")
+    )
+    w = F.col("_words")
+    nw = F.size(w) - (k - 1)
     grams = F.when(
         nw > 0,
         F.transform(
             F.sequence(F.lit(1), F.greatest(nw, F.lit(1))),
-            lambda i: F.array_join(F.slice(words, i, k), " "),
+            lambda i: F.array_join(F.slice(w, i, k), " "),
         ),
-    ).otherwise(F.array(F.array_join(words, " ")))
-    hashes = F.transform(grams, lambda g: gram_hash(g))
-    m = F.size(hashes) - (window - 1)
+    ).otherwise(F.array(F.array_join(w, " ")))
+    # gram_hash maps over the lambda variable only, so grams may be
+    # inlined here as transform's array argument (evaluated once per
+    # row) without reintroducing the per-element blowup
+    hashed = words.select(
+        "doc_id", F.transform(grams, lambda g: gram_hash(g)).alias("_hashes")
+    )
+    h = F.col("_hashes")
+    m = F.size(h) - (window - 1)
     wins = F.when(
         m > 0,
         F.transform(
             F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-            lambda i: F.array_min(F.slice(hashes, i, window)),
+            lambda i: F.array_min(F.slice(h, i, window)),
         ),
-    ).otherwise(F.array(F.array_min(hashes)))
-    return documents.select(
+    ).otherwise(F.array(F.array_min(h)))
+    return hashed.select(
         "doc_id", F.array_sort(F.array_distinct(wins)).alias("fingerprints")
     )
 
@@ -1141,4 +1163,97 @@ def salient_terms(documents: DataFrame, k: int = 5,
                 # rank on the exact quotient, EMIT round-6 (house style
                 # for cross-engine double comparison)
                 F.round("score", 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. cross-document containment (copy detection over fingerprints)
+# ---------------------------------------------------------------------------
+
+def containment_pairs(documents: DataFrame, k: int = 5, window: int = 4,
+                      min_containment: float = 0.5,
+                      max_df: int | None = None,
+                      hash_fn: str = "xxhash64",
+                      *, cache: str = "none") -> DataFrame:
+    """Asymmetric copy detection: pairs of documents where one's
+    winnowing-fingerprint set is substantially contained in the
+    other's — the doc-inside-doc case (a page quoting another, a
+    scrape embedding a whole article) that symmetric Jaccard
+    thresholds miss because the union is dominated by the larger doc.
+    This is the MOSS shape: winnow (``fingerprints``), invert, count
+    shared fingerprints per pair, score containment = shared/|own|.
+
+    Emits (doc_a, doc_b, n_common, n_fp_a, n_fp_b,
+    containment_a_in_b, containment_b_in_a) for pairs where the
+    LARGER of the two containments clears ``min_containment``
+    (fractions round-6 for engine-portable comparison; the filter
+    runs on the exact quotients).
+
+    100 TB notes: candidate generation is the inverted-index
+    equi-join on fingerprint value — uniform 64-bit (or hex-digest)
+    keys, no all-pairs.  The hazard is a boilerplate fingerprint
+    shared by m docs fanning out m^2 pair rows; ``max_df`` is the
+    standard MOSS guard — drop fingerprints appearing in more than
+    max_df documents before the self-join (an over-common fingerprint
+    identifies boilerplate, not copying).  The pair aggregation keys
+    on (doc_a, doc_b) — uniform.  Winnowing itself is per-row array
+    ops (no shuffle) inherited from ``fingerprints``.
+
+    The exploded fingerprint table has up to three consumers (the
+    max_df build plus both self-join sides), each of which would
+    re-run the winnowing scan.  ``cache`` follows the
+    ``lsh_pairs_from_signatures`` convention: ``"none"`` (default)
+    re-scans — right when ``documents`` is a cheap re-readable parquet
+    scan and fault recovery matters; ``"local"`` lazily
+    localCheckpoints the exploded table so winnowing computes at most
+    once — right for expensive derived input plans (lineage is
+    truncated: an executor loss fails the job instead of recomputing);
+    ``"reliable"`` checkpoints to the configured checkpoint dir.
+    """
+    fp = fingerprints(documents, k=k, window=window, hash_fn=hash_fn)
+    # explode_outer, NOT explode: InferFiltersFromGenerate adds a
+    # size(col) > 0 filter for plain explode, and predicate pushdown
+    # then substitutes the winnowing aliases into that filter —
+    # re-deriving the whole O(n^2)-per-row nested HOF expression from
+    # raw text (measured 26 s vs 2.7 s for this explode at sf0.01).
+    # The rule skips outer generators, and the two are equivalent here:
+    # fingerprints() always emits >=1 fingerprint per doc (its
+    # otherwise-branch hashes the whole text), so no null rows appear.
+    ex = fp.select(
+        "doc_id", F.size("fingerprints").alias("n_fp"),
+        F.explode_outer("fingerprints").alias("fp"),
+    )
+    if cache == "local":
+        ex = ex.localCheckpoint(eager=False)
+    elif cache == "reliable":
+        ex = ex.checkpoint(eager=False)
+    elif cache != "none":
+        raise ValueError(f"cache must be local|reliable|none, got {cache!r}")
+    if max_df is not None:
+        keep = (
+            ex.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df).select("fp")
+        )
+        ex = ex.join(keep, "fp")
+    a = ex.select(F.col("doc_id").alias("doc_a"),
+                  F.col("n_fp").alias("n_fp_a"), "fp")
+    b = ex.select(F.col("doc_id").alias("doc_b"),
+                  F.col("n_fp").alias("n_fp_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_fp_a", "n_fp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    c_ab = F.col("n_common").cast("double") / F.col("n_fp_a")
+    c_ba = F.col("n_common").cast("double") / F.col("n_fp_b")
+    return (
+        pairs.filter(F.greatest(c_ab, c_ba) >= min_containment)
+        .select(
+            "doc_a", "doc_b", "n_common",
+            F.col("n_fp_a").cast("long").alias("n_fp_a"),
+            F.col("n_fp_b").cast("long").alias("n_fp_b"),
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+        )
     )
