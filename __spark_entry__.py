@@ -86,6 +86,17 @@ _CONTAIN_EXCERPT = (
     "participating facilities"
 )
 
+# Shared 12-word run for the dedup_spans planted corpus; appended to
+# doc_id % 37 == 3 docs and prepended to % 37 == 4 docs so the span
+# dedup has cross-document duplicated runs whose overlapping 8-grams
+# must merge into one maximal excision.  Plain lowercase words, no
+# SQL-significant characters; injected identically in q_dedup_spans
+# and its oracle.
+_SPAN_EXCERPT = (
+    "standard operating procedure requires verification of identity "
+    "before records are released to any requesting party"
+)
+
 # shared by q_corpus_mix and its oracle: per-source keep thresholds in
 # millionths (pure ints so the Spark map literal and the SQL CASE chain
 # are generated from identical values)
@@ -212,8 +223,11 @@ _QUERY_ORDER = [
     # containment_pairs (asymmetric doc-inside-doc copy detection over
     # the winnowing fingerprints, round-5) likewise lands past the cut
     # for the same reason; fully oracled below on a planted-excerpt
-    # corpus and pytest-pinned (tests/test_containment.py).
-    "salient_terms", "containment_pairs",
+    # corpus and pytest-pinned (tests/test_containment.py).  Same for
+    # dedup_spans (Lee-et-al-style corpus-wide exact substring-span
+    # excision, round-5): fully oracled below on a planted-run corpus
+    # and pytest-pinned (tests/test_dedup_spans.py).
+    "salient_terms", "containment_pairs", "dedup_spans",
     "stage_metrics", "review_reasons", "combined_text", "clean_extract",
     "simhash_md5", "fingerprints_md5", "ann_lsh_md5",
     "section_spans", "unclear_chars",
@@ -856,6 +870,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d.select("doc_id", injected.alias("text")),
             min_containment=0.5, hash_fn="md5")
     q["containment_pairs"] = q_containment_pairs
+
+    def q_dedup_spans(spark, sf):
+        """Corpus-wide exact substring-span dedup (Lee et al. 2021
+        family, md5 tier) on a planted corpus: a shared 12-word run is
+        appended to doc_id % 37 == 3 docs and prepended to % 37 == 4
+        docs, so its overlapping duplicated 8-grams must merge into one
+        maximal excision everywhere except the single canonical
+        (minimal doc_id, pos) occurrence.  Natural duplicate runs in
+        the synthetic text are excised too — both engines find the
+        same ones.  Full per-doc (deduplicated text, n_words,
+        n_removed) table value-hash-oracled."""
+        d = _read(spark, sf, "documents")
+        injected = (
+            F.when(F.col("doc_id") % 37 == 3,
+                   F.concat(F.coalesce(F.col("text"), F.lit("")),
+                            F.lit(" " + _SPAN_EXCERPT)))
+            .when(F.col("doc_id") % 37 == 4,
+                  F.concat(F.lit(_SPAN_EXCERPT + " "),
+                           F.coalesce(F.col("text"), F.lit(""))))
+            .otherwise(F.col("text"))
+        )
+        return corpus.dedup_spans(
+            d.select("doc_id", injected.alias("text")),
+            min_len=8, hash_fn="md5")
+    q["dedup_spans"] = q_dedup_spans
 
     def q_topk_per_group(spark, sf):
         from pyspark.sql import Window
@@ -4375,6 +4414,61 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE greatest(CAST(n_common AS DOUBLE) / n_fp_a,
                            CAST(n_common AS DOUBLE) / n_fp_b) >= 0.5
+        """,
+        # corpus-wide exact substring-span dedup (min_len=8 word grams,
+        # md5 tier) on the planted corpus replicated from q_dedup_spans:
+        # gram occurrences ranked per hash by (doc_id, pos); every
+        # non-first occurrence claims word positions [pos, pos+8) for
+        # removal; the doc is rebuilt from unclaimed positions
+        "dedup_spans": rf"""
+            WITH base AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 37 = 3
+                       THEN coalesce(text, '') || ' ' || '{_SPAN_EXCERPT}'
+                     WHEN doc_id % 37 = 4
+                       THEN '{_SPAN_EXCERPT}' || ' ' || coalesce(text, '')
+                     ELSE text END AS text
+              FROM documents
+            ), words AS (
+              SELECT doc_id,
+                regexp_split_to_array(trim(regexp_replace(lower(coalesce(text, '')),
+                    '[\s\x0b]+', ' ', 'g')), ' ') AS words
+              FROM base
+            ), grams AS (
+              SELECT doc_id,
+                CASE WHEN len(words) - 7 >= 1
+                     THEN list_transform(range(1, len(words) - 6),
+                          i -> {{'pos': i,
+                                 'h': md5(array_to_string(words[i:i+7], ' '))}})
+                     ELSE [] END AS gs
+              FROM words
+            ), occ AS (
+              SELECT doc_id, u.g.pos AS pos, u.g.h AS h
+              FROM (SELECT doc_id, unnest(gs) AS g FROM grams) u
+            ), ranked AS (
+              SELECT doc_id, pos,
+                count(*) OVER (PARTITION BY h) AS n_occ,
+                row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+              FROM occ
+            ), rem AS (
+              SELECT doc_id, list(pos) AS ivs
+              FROM ranked WHERE n_occ >= 2 AND rn > 1 GROUP BY doc_id
+            ), clean AS (
+              SELECT w.doc_id, w.words,
+                list_filter(
+                  list_transform(range(1, len(w.words) + 1),
+                    i -> CASE WHEN len(list_filter(coalesce(r.ivs, []),
+                                  p -> i >= p AND i < p + 8)) = 0
+                         THEN w.words[i] END),
+                  x -> x IS NOT NULL) AS cw
+              FROM words w LEFT JOIN rem r ON w.doc_id = r.doc_id
+            )
+            SELECT doc_id,
+              -- array_to_string([]) is NULL in DuckDB but '' in Spark
+              coalesce(array_to_string(cw, ' '), '') AS text,
+              CAST(len(words) AS BIGINT) AS n_words,
+              CAST(len(words) - len(cw) AS BIGINT) AS n_removed
+            FROM clean
         """,
         # exclusive prefix sum of the same BPE-ish token counts as
         # token_counts; bin ids by BIGINT integer division (// in

@@ -186,7 +186,7 @@ def main():
         "corpus_profile", "hash_split", "pack_manifest", "corpus_mix",
         "decontaminate", "repetition_stats", "redact_pii",
         "session_window_rollup", "top_ngrams", "salient_terms",
-        "containment_pairs",
+        "containment_pairs", "dedup_spans",
     ]:
         df = qs[name](spark, SF_DIR)
         _materialize(df)

@@ -1257,3 +1257,118 @@ def containment_pairs(documents: DataFrame, k: int = 5, window: int = 4,
             F.round(c_ba, 6).alias("containment_b_in_a"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. exact substring-span deduplication (corpus-wide span excision)
+# ---------------------------------------------------------------------------
+
+def dedup_spans(documents: DataFrame, min_len: int = 20,
+                hash_fn: str = "xxhash64") -> DataFrame:
+    """Corpus-wide EXACT substring deduplication in the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" (2021)
+    family: any word sequence of length ``min_len`` that occurs more
+    than once across the corpus (or within one document) is excised
+    from every occurrence EXCEPT one canonical copy — the occurrence
+    with the smallest (doc_id, position).  Doc-level dedup
+    (``exact_dedup``/near-dup/``containment_pairs``) cannot express
+    this: a boilerplate paragraph shared by a thousand otherwise-unique
+    pages survives every document-granularity pass, but is exactly the
+    text an LLM memorizes.
+
+    Operates in ``norm_text`` space (lowercase, collapsed whitespace)
+    and emits the deduplicated NORMALIZED text — one row per input
+    document: (doc_id, text, n_words, n_removed).  Documents shorter
+    than ``min_len`` words pass through whole.  A document that is
+    entirely a duplicate of an earlier one comes back empty.
+    Occurrence positions are 1-based word offsets; an occurrence at
+    position p claims words [p, p+min_len).  Overlapping duplicated
+    grams union their claimed intervals, so maximal duplicated runs
+    are removed end-to-end.  As in the reference algorithm, a
+    canonical span can still disappear when a DIFFERENT gram's
+    non-canonical occurrence overlaps it — "keep one copy" is
+    per-gram, not per-character.
+
+    100 TB notes: the position table carries one row per word of
+    corpus — the same cardinality as a tokenizer pass — keyed by a
+    uniform 64-bit/hex gram hash; the duplicate-gram groupBy and the
+    canonical min(struct(doc_id, pos)) agg both partial-aggregate
+    map-side on that uniform key, and the removal-interval
+    collect_list is bounded by document length.  No all-pairs stage
+    anywhere: corpus-wide duplication is found by hash equality, the
+    inverted-index shape again.  The rebuild is per-row array work,
+    O(words x removed-intervals) per doc worst case (a pathological
+    fully-boilerplate mega-doc is bounded by its own length squared
+    over min_len).  Cites the same reference surfaces as the other
+    corpus hygiene ops (deduplication_service.py's doc-level passes);
+    the span granularity itself is beyond-reference.
+    """
+    gram_hash = F.md5 if hash_fn == "md5" else F.xxhash64
+    # staged selects throughout — HOF lambda bodies must only touch
+    # bound columns (see fingerprints(): inline computed subtrees are
+    # re-evaluated per element, and plain explode's inferred
+    # size-filter re-derives them per row)
+    words = documents.select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("_words")
+    )
+    w = F.col("_words")
+    ng = F.size(w) - (min_len - 1)
+    grams = words.select(
+        "doc_id", "_words",
+        F.when(
+            ng >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(ng, F.lit(1))),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    gram_hash(F.array_join(F.slice(w, i, min_len), " "))
+                    .alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,h:string>>")
+                    if hash_fn == "md5" else
+                    F.array().cast("array<struct<pos:int,h:bigint>>"))
+        .alias("_grams"),
+    )
+    occ = (
+        grams.select("doc_id", F.explode_outer("_grams").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    # duplicated grams + their canonical (minimal) occurrence in ONE
+    # uniform-key aggregation; min(struct) orders lexicographically
+    dup = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"),
+             F.min(F.struct("doc_id", "pos")).alias("canon"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h", "canon")
+    )
+    removal = (
+        occ.join(dup, "h")
+        .filter(~((F.col("doc_id") == F.col("canon.doc_id"))
+                  & (F.col("pos") == F.col("canon.pos"))))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("_ivs"))
+    )
+    rebuilt = (
+        grams.select("doc_id", "_words")
+        .join(removal, "doc_id", "left")
+        .select("doc_id", "_words",
+                F.coalesce(F.col("_ivs"), F.array().cast("array<int>"))
+                .alias("_ivs"))
+    )
+    iv = F.col("_ivs")
+    # filter's index i is 0-based; interval starts are 1-based
+    clean = F.filter(
+        w, lambda x, i: ~F.exists(
+            iv, lambda p: (i >= p - 1) & (i < p - 1 + min_len))
+    )
+    return (
+        rebuilt.select(
+            "doc_id",
+            F.array_join(clean, " ").alias("text"),
+            F.size(w).cast("long").alias("n_words"),
+            (F.size(w) - F.size(clean)).cast("long").alias("n_removed"),
+        )
+    )
