@@ -446,14 +446,22 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
         )
     if candidate != "min_shingle":
         raise ValueError(f"unknown candidate tier: {candidate}")
-    # JVM shingler on the oracled tier: exact engine-portable semantics
+    # Arrow shingler here too (pytest-pinned byte-equal to the JVM
+    # word_shingles, same ASCII-\s normalization the DuckDB oracle
+    # mirrors): the interpreted JVM HOF chain cost ~3.4 s per join
+    # side at sf0.1 even fully staged, and the self-join evaluates its
+    # input plan on BOTH sides — 18 s for the query where the Arrow
+    # form measures ~1 s.  The md5 min-shingle key stays a JVM
+    # expression over the materialized array.
     sh = documents.select(
         "doc_id",
-        F.array_sort(word_shingles(F.col("text"), shingle_n)).alias("shingles"),
+        F.array_sort(word_shingles_udf(shingle_n)(F.col("text")))
+        .alias("shingles"),
     )
-    keyed = sh.withColumn(
-        "min_shingle",
-        F.array_min(F.transform("shingles", lambda s: F.md5(s))),
+    keyed = sh.select(
+        "doc_id", "shingles",
+        F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(s)))
+        .alias("min_shingle"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
