@@ -97,6 +97,15 @@ _SPAN_EXCERPT = (
     "before records are released to any requesting party"
 )
 
+# Planted disclaimer line for q_line_boilerplate: appended as its own
+# line to every doc with doc_id % 3 != 2, so its cross-document
+# frequency makes it boilerplate at any threshold.  Plain lowercase
+# words, no SQL-significant characters; injected identically in the
+# Spark query and its oracle.
+_BOILER_LINE = (
+    "this document is confidential and intended solely for the named recipient"
+)
+
 # shared by q_corpus_mix and its oracle: per-source keep thresholds in
 # millionths (pure ints so the Spark map literal and the SQL CASE chain
 # are generated from identical values)
@@ -227,7 +236,15 @@ _QUERY_ORDER = [
     # dedup_spans (Lee-et-al-style corpus-wide exact substring-span
     # excision, round-5): fully oracled below on a planted-run corpus
     # and pytest-pinned (tests/test_dedup_spans.py).
+    # line_boilerplate (CCNet-style cross-document repeated-line
+    # stripping) and lm_quality (corpus-trained bigram-LM
+    # predictability scores) — added late in round 5 — land past the
+    # cut for the same reason as salient_terms: every in-window row is
+    # sole driver evidence for its operator.  Both are fully oracled
+    # below (value-hash via tools/check_oracles.py at sf0.001/0.01/0.1)
+    # and pytest-pinned (tests/test_corpus_hygiene.py).
     "salient_terms", "containment_pairs", "dedup_spans",
+    "line_boilerplate", "lm_quality",
     "stage_metrics", "review_reasons", "combined_text", "clean_extract",
     "simhash_md5", "fingerprints_md5", "ann_lsh_md5",
     "section_spans", "unclear_chars",
@@ -895,6 +912,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d.select("doc_id", injected.alias("text")),
             min_len=8, hash_fn="md5")
     q["dedup_spans"] = q_dedup_spans
+
+    def q_line_boilerplate(spark, sf):
+        """CCNet-style cross-document line-boilerplate removal on a
+        planted corpus: documents re-chunked into 4-word lines (the
+        synthetic docs are single-line), then a known disclaimer line
+        appended to every doc with doc_id % 3 != 2 — its document
+        frequency makes it boilerplate by any threshold, and natural
+        4-word chunks shared by >= 3 docs are stripped identically by
+        both engines.  Full per-doc (cleaned text, line counts, char
+        fraction) table value-hash-oracled."""
+        d = _read(spark, sf, "documents")
+        # stage _words as a real column: HOF lambda bodies must touch
+        # only bound attributes (corpus.fingerprints evaluation-trap
+        # note) — an inline split() subtree re-evaluates per chunk
+        staged = d.select(
+            "doc_id",
+            F.split(corpus.norm_text(F.col("text")), " ").alias("_words"),
+        )
+        words = F.col("_words")
+        nlines = F.ceil(F.size(words).cast("double") / 4).cast("int")
+        chunked = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nlines, F.lit(1))),
+                lambda i: F.array_join(F.slice(words, (i - 1) * 4 + 1, 4), " "),
+            ),
+            "\n",
+        )
+        planted = F.when(
+            F.col("doc_id") % 3 != 2,
+            F.concat(chunked, F.lit("\n" + _BOILER_LINE)),
+        ).otherwise(chunked)
+        return corpus.line_boilerplate(
+            staged.select("doc_id", planted.alias("text")), min_docs=3
+        )
+    q["line_boilerplate"] = q_line_boilerplate
+
+    def q_lm_quality(spark, sf):
+        """Corpus-trained bigram-LM predictability scores over the raw
+        documents table: the model tables (bigram and left-unigram
+        counts) are aggregated from the corpus itself, then every doc
+        is scored by its occurrence-weighted mean exact conditional
+        probability plus corpus-hapax bigram counts.  Transcendental-
+        free (see bigram_lm_scores); full per-doc table
+        value-hash-oracled."""
+        d = _read(spark, sf, "documents")
+        return corpus.bigram_lm_scores(d)
+    q["lm_quality"] = q_lm_quality
 
     def q_topk_per_group(spark, sf):
         from pyspark.sql import Window
@@ -4469,6 +4533,119 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(words) AS BIGINT) AS n_words,
               CAST(len(words) - len(cw) AS BIGINT) AS n_removed
             FROM clean
+        """,
+        # same 4-word re-chunking as the Spark query, same planted
+        # disclaimer line; boilerplate = normalized-line md5 appearing
+        # in >= 3 distinct docs; rebuild keeps original order
+        "line_boilerplate": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                regexp_split_to_array(trim(regexp_replace(lower(coalesce(text, '')),
+                    '[\s\x0b]+', ' ', 'g')), ' ') AS words
+              FROM documents
+            ), chunked AS (
+              SELECT doc_id,
+                array_to_string(list_transform(
+                  range(1, greatest(CAST(ceil(len(words) / 4.0) AS INT), 1) + 1),
+                  i -> array_to_string(words[(i-1)*4+1:(i-1)*4+4], ' ')),
+                  chr(10)) AS text
+              FROM w
+            ), base AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 <> 2
+                     THEN text || chr(10) || '{_BOILER_LINE}'
+                     ELSE text END AS text
+              FROM chunked
+            ), l AS (
+              SELECT doc_id, s.pos AS pos, trim(s.line) AS line FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ls) + 1),
+                    i -> {{'pos': i, 'line': ls[i]}})) AS s
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                      FROM base))
+              WHERE trim(s.line) <> ''
+            ), k AS (
+              SELECT doc_id, pos, line,
+                md5(regexp_replace(lower(line), '[\s\x0b]+', ' ', 'g')) AS k
+              FROM l
+            ), b AS (
+              SELECT k FROM k GROUP BY k
+              HAVING count(DISTINCT doc_id) >= 3
+            ), f AS (
+              SELECT k.doc_id, k.pos, k.line,
+                (b.k IS NOT NULL) AS boiler,
+                CAST(len(k.line) AS BIGINT) AS chars
+              FROM k LEFT JOIN b ON k.k = b.k
+            ), agg AS (
+              SELECT doc_id,
+                coalesce(array_to_string(
+                  list(line ORDER BY pos) FILTER (WHERE NOT boiler),
+                  chr(10)), '') AS text,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_boilerplate_lines,
+                round(CAST(sum(CASE WHEN boiler THEN chars ELSE 0 END)
+                  AS DOUBLE) / sum(chars), 6) AS boilerplate_char_fraction
+              FROM f GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              coalesce(agg.text, '') AS text,
+              coalesce(agg.n_lines, 0) AS n_lines,
+              coalesce(agg.n_boilerplate_lines, 0) AS n_boilerplate_lines,
+              coalesce(agg.boilerplate_char_fraction, 0.0)
+                AS boilerplate_char_fraction
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        # corpus-trained bigram LM: model tables from one aggregation
+        # chain (c12, then c1 as its re-aggregation); per-doc score is
+        # the occurrence-weighted mean of exact BIGINT-ratio
+        # conditional probabilities — no transcendentals anywhere
+        "lm_quality": r"""
+            WITH n AS (
+              SELECT doc_id,
+                trim(regexp_replace(lower(coalesce(text, '')),
+                    '[\s\x0b]+', ' ', 'g')) AS norm
+              FROM documents
+            ), words AS (
+              SELECT doc_id, norm,
+                regexp_split_to_array(norm, ' ') AS words
+              FROM n
+            ), bgo AS (
+              SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(words)),
+                    i -> {'w1': words[i], 'w2': words[i+1]})) AS b
+                FROM words WHERE len(words) > 1)
+            ), occ AS (
+              SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS occ
+              FROM bgo GROUP BY doc_id, w1, w2
+            ), c12 AS (
+              SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c12
+              FROM occ GROUP BY w1, w2
+            ), c1 AS (
+              SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+              FROM c12 GROUP BY w1
+            ), probed AS (
+              SELECT o.doc_id,
+                CAST(sum(o.occ) AS BIGINT) AS n_bigrams,
+                CAST(sum(CASE WHEN c12.c12 = 1 THEN o.occ ELSE 0 END)
+                     AS BIGINT) AS n_hapax_bigrams,
+                round(sum(o.occ * (CAST(c12.c12 AS DOUBLE) / c1.c1))
+                      / sum(o.occ), 6) AS mean_bigram_prob
+              FROM occ o
+              JOIN c12 ON o.w1 = c12.w1 AND o.w2 = c12.w2
+              JOIN c1 ON o.w1 = c1.w1
+              GROUP BY o.doc_id
+            )
+            SELECT w.doc_id,
+              CAST(CASE WHEN w.norm = '' THEN 0 ELSE len(w.words) END
+                   AS BIGINT) AS n_tokens,
+              coalesce(p.n_bigrams, 0) AS n_bigrams,
+              coalesce(p.n_hapax_bigrams, 0) AS n_hapax_bigrams,
+              coalesce(round(CAST(p.n_hapax_bigrams AS DOUBLE)
+                  / p.n_bigrams, 6), 0.0) AS hapax_rate,
+              coalesce(p.mean_bigram_prob, 0.0) AS mean_bigram_prob
+            FROM words w LEFT JOIN probed p ON w.doc_id = p.doc_id
         """,
         # exclusive prefix sum of the same BPE-ish token counts as
         # token_counts; bin ids by BIGINT integer division (// in

@@ -1380,3 +1380,230 @@ def dedup_spans(documents: DataFrame, min_len: int = 20,
             (F.size(w) - F.size(clean)).cast("long").alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 15. cross-document line-level boilerplate removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def line_boilerplate(documents: DataFrame, min_docs: int = 3,
+                     text: str = "text") -> DataFrame:
+    """Corpus-statistical boilerplate stripping at LINE granularity, in
+    the CCNet family (Wenzek et al. 2020 deduplicate at paragraph level
+    precisely because repeated paragraphs are navigation chrome, cookie
+    banners and license footers, not content): any normalized line that
+    occurs in >= ``min_docs`` DISTINCT documents is boilerplate and is
+    removed from every document.  This is the corpus-level complement
+    of the reference's per-page header/footer stripping
+    (ocr_service.py's page-banner and disclaimer rules find boilerplate
+    a rule author anticipated; the df-threshold finds the boilerplate
+    nobody wrote a rule for).  Intra-document repetition is
+    deliberately NOT counted (that signal is ``repetition_stats``):
+    the flag is cross-document document-frequency.
+
+    One row per input document: (doc_id, text, n_lines,
+    n_boilerplate_lines, boilerplate_char_fraction) — ``text`` is the
+    kept lines (trimmed, originally-cased) rejoined with newlines in
+    original order; counts are over non-empty trimmed lines; the char
+    fraction is round-6 over the non-empty-line character mass.
+
+    100 TB notes:
+
+    * lines join on the md5 of their normalized form, so join-key
+      width is bounded regardless of line length (same idiom as
+      ``decontaminate``).
+    * the df aggregation is a two-phase count-distinct on a uniform
+      hash key (hot boilerplate lines ARE the heavy keys, but
+      partial aggregation collapses each (line, doc) pair map-side
+      before the shuffle).
+    * the boilerplate SET (lines with df >= min_docs) is tiny relative
+      to the corpus — repeated chrome, not content — so the line->flag
+      join is AQE-broadcastable at any realistic scale; the plan is
+      left as an equi-join so AQE can pick broadcast when small and a
+      uniform-key shuffle join when not (no hand-forced broadcast that
+      OOMs the driver on an adversarial corpus).
+    * rebuild is a per-doc sort_array(collect_list(struct(pos,line)))
+      bounded by document length, keyed on uniform doc_id.
+    """
+    lines = (
+        documents.select(
+            "doc_id",
+            F.posexplode_outer(
+                F.split(F.coalesce(F.col(text), F.lit("")), "\n")
+            ).alias("pos", "_raw"),
+        )
+        .select("doc_id", "pos", F.trim(F.col("_raw")).alias("line"))
+        .filter(F.col("line") != "")
+        .select(
+            "doc_id", "pos", "line",
+            F.md5(
+                F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")
+            ).alias("k"),
+        )
+    )
+    boiler = (
+        lines.groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("k", F.lit(True).alias("_boiler"))
+    )
+    flagged = lines.join(boiler, "k", "left").select(
+        "doc_id", "pos", "line",
+        F.coalesce("_boiler", F.lit(False)).alias("_boiler"),
+        F.length("line").cast("long").alias("_chars"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_boiler"),
+                               F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_boiler").cast("long")).cast("long")
+        .alias("n_boilerplate_lines"),
+        F.round(
+            F.sum(F.when(F.col("_boiler"), F.col("_chars")).otherwise(0))
+            .cast("double") / F.sum("_chars"),
+            6,
+        ).alias("boilerplate_char_fraction"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_boilerplate_lines", F.lit(0)).cast("long")
+            .alias("n_boilerplate_lines"),
+            F.coalesce("boilerplate_char_fraction", F.lit(0.0))
+            .alias("boilerplate_char_fraction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 16. corpus-trained bigram-LM predictability scores (CCNet-style quality)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_scores(documents: DataFrame, text: str = "text") -> DataFrame:
+    """Statistical-LM quality scoring in the CCNet/KenLM family: train
+    a bigram language model ON THE CORPUS ITSELF (one aggregation) and
+    score every document by how predictable its word transitions are
+    under that model.  Degenerate text — mojibake, shuffled tokens,
+    OCR noise — scores near zero; fluent in-domain text scores high.
+    The reference's quality analog is per-page heuristic scoring
+    (ocr_service.py:304-364); this is the corpus-statistical upgrade a
+    training pipeline runs when no rule anticipates the garbage.
+
+    Scores are TRANSCENDENTAL-FREE by design (the same engine-
+    portability reasoning as ``salient_terms``' tf*N/df): instead of
+    log-perplexity, the per-document score is the occurrence-weighted
+    mean of exact conditional probabilities p(w2|w1) =
+    c(w1,w2)/c(w1,*), each a correctly-rounded IEEE division of two
+    BIGINT corpus counts — bit-identical across engines, unlike ln()
+    whose last ulp is libm-specific.  The mean is a strictly monotone
+    proxy for the (inverse) perplexity ranking on this model class.
+
+    One row per document: (doc_id, n_tokens, n_bigrams,
+    n_hapax_bigrams, hapax_rate, mean_bigram_prob) —
+    ``n_hapax_bigrams`` counts bigram occurrences whose corpus count
+    is exactly 1 (they appear nowhere else, the strongest novelty/
+    noise signal); rates are round-6.
+
+    100 TB notes:
+
+    * bigram occurrences are pre-aggregated per (doc_id, w1, w2)
+      BEFORE joining the model tables, so the probe carries one row
+      per distinct in-doc bigram, not one per token.
+    * the model tables c(w1,w2) and c(w1,*) come from ONE groupBy
+      each (the unigram-left table is a re-aggregation of the bigram
+      table — no second corpus pass); both shuffles key on uniform
+      word hashes with map-side partials.
+    * the probe joins are equi-joins on those keys; stopword-headed
+      bigrams are the heavy keys and AQE's skew-join split handles
+      them (join skew, unlike agg skew, never concentrates a key on
+      one task after splitting).  Nothing is hand-broadcast: at 100 TB
+      the bigram model table scales with corpus vocabulary^2 reach
+      and must stay a shuffle join; AQE downgrades to broadcast at
+      test scale automatically.
+    """
+    words = documents.select(
+        "doc_id", F.split(norm_text(F.col(text)), " ").alias("_words")
+    )
+    w = F.col("_words")
+    nb = F.size(w) - 1
+    # staged _words (HOF lambda bodies touch only bound columns) and
+    # explode_outer (skip the inferred size-filter re-derivation) per
+    # the fingerprints()/dedup_spans() evaluation-trap notes
+    bg = (
+        words.select(
+            "doc_id",
+            F.when(
+                nb >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(nb, F.lit(1))),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            ).alias("_bg"),
+        )
+    )
+    occ = (
+        bg.select("doc_id", F.explode_outer("_bg").alias("b"))
+        .filter(F.col("b").isNotNull())
+        .groupBy("doc_id", F.col("b.w1").alias("w1"),
+                 F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    c12 = occ.groupBy("w1", "w2").agg(F.sum("occ").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    probed = (
+        occ.join(c12, ["w1", "w2"]).join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("c12") == 1, F.col("occ")).otherwise(0))
+            .cast("long").alias("n_hapax_bigrams"),
+            F.round(
+                F.sum(F.col("occ")
+                      * (F.col("c12").cast("double") / F.col("c1")))
+                / F.sum("occ"),
+                6,
+            ).alias("mean_bigram_prob"),
+        )
+    )
+    n_tok = F.when(
+        norm_text(F.col(text)) == "", F.lit(0)
+    ).otherwise(F.size(F.split(norm_text(F.col(text)), " "))).cast("long")
+    return (
+        documents.select("doc_id", n_tok.alias("n_tokens"))
+        .join(probed, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce("n_hapax_bigrams", F.lit(0)).cast("long")
+            .alias("n_hapax_bigrams"),
+            F.coalesce(
+                F.round(F.col("n_hapax_bigrams").cast("double")
+                        / F.col("n_bigrams"), 6),
+                F.lit(0.0),
+            ).alias("hapax_rate"),
+            F.coalesce("mean_bigram_prob", F.lit(0.0))
+            .alias("mean_bigram_prob"),
+        )
+    )
