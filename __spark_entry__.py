@@ -243,8 +243,12 @@ _QUERY_ORDER = [
     # sole driver evidence for its operator.  Both are fully oracled
     # below (value-hash via tools/check_oracles.py at sf0.001/0.01/0.1)
     # and pytest-pinned (tests/test_corpus_hygiene.py).
+    # semantic_dedup (SemDeDup-family within-cell embedding pruning,
+    # round-5) likewise: oracled md5-cell tier below (value-hash at
+    # sf0.001/0.01/0.1), IVF prod twin rows-only, pytest-pinned
+    # (tests/test_semantic_dedup.py).
     "salient_terms", "containment_pairs", "dedup_spans",
-    "line_boilerplate", "lm_quality",
+    "line_boilerplate", "lm_quality", "semantic_dedup",
     "stage_metrics", "review_reasons", "combined_text", "clean_extract",
     "simhash_md5", "fingerprints_md5", "ann_lsh_md5",
     "section_spans", "unclear_chars",
@@ -259,6 +263,7 @@ _QUERY_ORDER = [
     # ---- tail: rows-only production twins ----
     "minhash_lsh_pairs", "simhash_near_dups", "ngram_jaccard_banded",
     "fingerprints", "ann_lsh", "ann_ivf", "emb_near_dups_lsh",
+    "semantic_dedup_ivf",
     "media_features", "corpus_dedup_pipeline_prod",
     "incremental_dedup_prod",
 ]
@@ -2137,6 +2142,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["emb_near_dups_lsh"] = q_emb_near_dups_lsh
 
+    def q_semantic_dedup(spark, sf):
+        """SemDeDup-style semantic pruning, md5-plane cell tier over
+        the augmented embeddings (planted ~0.99-cosine clones): every
+        vector with a lower-id in-cell neighbor at cosine >= 0.9 is
+        pruned with a dup_of pointer.  Unrounded scores — the cosine
+        fold is bit-identical to the oracle's list_dot_product, and
+        the cell signature to its ordered list_reduce.  Full per-vector
+        decision table value-hash-oracled."""
+        return similarity.semantic_dedup_md5(
+            _aug_embeddings(spark, sf), threshold=0.9, n_planes=6,
+            dim=64, round_to=None,
+        )
+    q["semantic_dedup"] = q_semantic_dedup
+
+    def q_semantic_dedup_ivf(spark, sf):
+        """Production tier (rows-only: the k-means cell assignment is
+        not SQL-expressible; pytest pins exact-duplicate pruning and
+        the greedy keep-min-id semantics): nearest-centroid cells from
+        a 64-cell quantizer — SemDeDup runs MANY clusters so the
+        within-cell quadratic stays bounded (the ANN queries' 16-cell
+        index would quadruple per-cell pairwork here), same prune."""
+        key = ("ivf64", sf)
+        if key not in _IVF_MEMO:
+            _IVF_MEMO[key] = similarity.ivf_centroids(
+                _read(spark, sf, "embeddings"),
+                n_centroids=64, iters=5, dim=64)
+        return similarity.semantic_dedup_ivf(
+            _aug_embeddings(spark, sf), _IVF_MEMO[key], threshold=0.9,
+        )
+    q["semantic_dedup_ivf"] = q_semantic_dedup_ivf
+
     def _ivf_cents(spark, sf):
         """One quantizer build per (process, sf_dir): both IVF queries
         use identical build params, so they share the index the way a
@@ -3332,6 +3368,42 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _semantic_dedup_sql(n_planes: int = 6, dim: int = 64,
+                        threshold: float = 0.9) -> str:
+    """SemDeDup md5-cell tier: same augmented clone set as
+    emb_near_dups, cells from the table-0 md5 plane signature
+    (ordered list_reduce — bit-identical to Spark's fold), within-cell
+    keep-min-id prune on the UNROUNDED cosine; arg_min picks the score
+    of the smallest qualifying lower-id neighbor."""
+    cos = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"""
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+    list_concat([CAST(0.0 AS FLOAT)], embedding[2:])
+  FROM embeddings WHERE vec_id % 10 = 0
+), es AS (
+  SELECT vec_id, embedding,
+    {_ann_md5_sig_sql("embedding", "0", n_planes, dim)} AS cell
+  FROM aug
+), p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS other, {cos} AS score
+  FROM es a JOIN es b ON a.cell = b.cell AND a.vec_id > b.vec_id
+), d AS (
+  SELECT vec_id, min(other) AS dup_of, arg_min(score, other) AS dup_score
+  FROM p WHERE score >= {threshold} GROUP BY vec_id
+)
+SELECT e.vec_id, e.cell,
+  (d.vec_id IS NULL) AS keep,
+  d.dup_of AS dup_of,
+  d.dup_score AS dup_score
+FROM es e LEFT JOIN d ON e.vec_id = d.vec_id
+"""
+
+
 _ENTITY_DEDUP_SQL = r"""
 WITH occ AS (
   SELECT 'conv_' || CAST(p_partkey % 50 AS VARCHAR) AS conv_id,
@@ -3828,6 +3900,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_md5_sql(),
         "fingerprints_md5": _FINGERPRINTS_MD5_SQL,
         "ann_lsh_md5": _ann_md5_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "review_reasons": _REVIEW_REASONS_SQL,
         "section_spans": _SECTION_SPANS_SQL,
         "document_rollup": _DOCUMENT_ROLLUP_SQL,

@@ -187,7 +187,7 @@ def main():
         "decontaminate", "repetition_stats", "redact_pii",
         "session_window_rollup", "top_ngrams", "salient_terms",
         "containment_pairs", "dedup_spans",
-        "line_boilerplate", "lm_quality",
+        "line_boilerplate", "lm_quality", "semantic_dedup",
     ]:
         df = qs[name](spark, SF_DIR)
         _materialize(df)

@@ -471,3 +471,150 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, centroids,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", out_score.alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (cluster, then prune within cell)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(cells: DataFrame, threshold: float = 0.95,
+                   round_to: int | None = 6,
+                   cache: str = "none") -> DataFrame:
+    """Semantic deduplication in the SemDeDup family (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): partition the embedding space into
+    cells, then within each cell prune every vector that has an
+    above-threshold cosine neighbor with a SMALLER vec_id — the
+    deterministic keep-min-id variant of the paper's per-cluster
+    pruning (the paper keeps the member farthest from the centroid;
+    min-id is order-stable across runs and engines, which this
+    engine's bit-stable gate demands).  Complements the other dedup
+    tiers: exact/minhash/simhash catch lexical duplication,
+    ``cosine_near_dups`` catches pairwise embedding duplication, and
+    this prunes SEMANTIC redundancy corpus-wide with a per-cell
+    decision table.  Reference analog: the dedup decision surface of
+    deduplication_service.py:101-480 (keep/prune + canonical pointer),
+    lifted to embedding space.
+
+    ``cells``: (vec_id, embedding, cell).  Returns ONE row per vector:
+    (vec_id, cell, keep, dup_of, dup_score) — ``dup_of`` is the
+    smallest lower-id in-cell neighbor at or above ``threshold``
+    (NULL when kept), ``dup_score`` its cosine.  The prune rule is
+    greedy, not transitive: a vector can be pruned by a vector that is
+    itself pruned (as in the reference algorithm, the decision is a
+    pure function of the pair set, so it needs no iterative closure).
+
+    100 TB notes:
+
+    * the self-join is equi on ``cell`` — never all-pairs; within-cell
+      pairing is the SemDeDup trade and cell sizes are controlled by
+      the partitioner (2^n_planes buckets for the md5 tier, n_centroids
+      for the IVF tier — both scale with corpus size so per-cell
+      membership stays bounded).
+    * threshold is applied to the UNROUNDED cosine (same invariant as
+      cosine_near_dups: rounding first would flip pairs within 5e-7 of
+      the cut between engines); round_to affects display only.
+    * the keeper aggregation is min(struct(other, score)) — one
+      uniform-key groupBy with map-side partials; the decision table
+      joins back to the vector spine on uniform vec_id.
+    * ``cells`` has three consumers (both join sides + the spine), so
+      ``cache`` follows the lsh_pairs_from_signatures contract:
+      ``"none"`` (default) recomputes — right when the cell column is
+      a cheap expression over a re-readable scan (the md5 tier);
+      ``"local"`` lazily localCheckpoints — right for derived plans
+      whose cell assignment is an expensive UDF (the IVF tier), with
+      the documented lineage-truncation trade; ``"reliable"`` uses a
+      reliable checkpoint (needs setCheckpointDir).
+    """
+    if cache == "local":
+        cells = cells.localCheckpoint(eager=False)
+    elif cache == "reliable":
+        cells = cells.checkpoint(eager=False)
+    elif cache != "none":
+        raise ValueError(f"cache must be local|reliable|none, got {cache!r}")
+    a, b = cells.alias("a"), cells.alias("b")
+    score = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("other"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    dup = (
+        pairs.groupBy("vec_id")
+        .agg(F.min(F.struct("other", "score")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.other").alias("dup_of"),
+            F.col("m.score").alias("dup_score"),
+        )
+    )
+    out_score = (
+        F.round("dup_score", round_to) if round_to is not None
+        else F.col("dup_score")
+    )
+    return (
+        cells.select("vec_id", "cell")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id", "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            out_score.alias("dup_score"),
+        )
+    )
+
+
+def semantic_dedup_md5(embeddings: DataFrame, threshold: float = 0.95,
+                       n_planes: int = 6, *, dim: int,
+                       round_to: int | None = 6) -> DataFrame:
+    """DuckDB-oracle-able tier of semantic_dedup: cells are the
+    sign-bit buckets of the md5 +-1 hyperplane family (table 0) — the
+    same engine-portable partitioner as lsh_topk_md5, evaluated as a
+    JVM sequential fold bit-identical to the oracle's ordered
+    list_reduce.  Random-hyperplane cells ARE a cosine-locality
+    partition (two vectors share a cell iff no plane separates them),
+    so the tier exercises the full SemDeDup semantics, not a toy
+    stand-in; the production path swaps in the k-means partitioner
+    below."""
+    planes = _md5_planes(dim, n_planes, 0)
+    c = embeddings.select(
+        "vec_id", "embedding",
+        lsh_signature_expr(F.col("embedding"), planes).alias("cell"),
+    )
+    return semantic_dedup(c, threshold, round_to)
+
+
+def semantic_dedup_ivf(embeddings: DataFrame, centroids,
+                       threshold: float = 0.95,
+                       round_to: int | None = 6,
+                       cache: str = "local") -> DataFrame:
+    """Production tier of semantic_dedup: cells are nearest-centroid
+    assignments from the deterministic IVF coarse quantizer
+    (ivf_centroids / the persisted parquet index artifact), computed
+    by the Arrow-batched distance matmul — the paper's actual
+    clustering step.  Cell ids are stringified for a schema shared
+    with the md5 tier."""
+    assign1 = _ivf_assign_udf(centroids, top=1)
+    c = embeddings.select(
+        "vec_id", "embedding",
+        F.explode(assign1(F.col("embedding"))).alias("_cell"),
+    ).select(
+        "vec_id", "embedding", F.col("_cell").cast("string").alias("cell")
+    )
+    # cache="local" default: the Arrow assignment UDF has three
+    # consumers in semantic_dedup (both join sides + the spine) and
+    # should run once.  At bench scale the saving is negligible (the
+    # within-cell exact-fold scoring dominates, ~3 s at sf0.1 either
+    # way); at corpus scale the assignment is a full distance matmul
+    # per vector and triple evaluation would be real money.  Pass
+    # "none"/"reliable" per the core's cache contract.
+    return semantic_dedup(c, threshold, round_to, cache=cache)
