@@ -247,8 +247,13 @@ _QUERY_ORDER = [
     # round-5) likewise: oracled md5-cell tier below (value-hash at
     # sf0.001/0.01/0.1), IVF prod twin rows-only, pytest-pinned
     # (tests/test_semantic_dedup.py).
+    # corpus_curation (the composed end-to-end hygiene pipeline,
+    # round-5) as well: oracled below against a single composed DuckDB
+    # query, pytest-pinned incl. signal-parity with the standalone
+    # operators (tests/test_curation.py).
     "salient_terms", "containment_pairs", "dedup_spans",
     "line_boilerplate", "lm_quality", "semantic_dedup",
+    "corpus_curation",
     "stage_metrics", "review_reasons", "combined_text", "clean_extract",
     "simhash_md5", "fingerprints_md5", "ann_lsh_md5",
     "section_spans", "unclear_chars",
@@ -964,6 +969,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _read(spark, sf, "documents")
         return corpus.bigram_lm_scores(d)
     q["lm_quality"] = q_lm_quality
+
+    def q_corpus_curation(spark, sf):
+        """Composed end-to-end curation pipeline (the hygiene twin of
+        corpus_dedup_pipeline): PII injected on every 5th doc (then
+        redacted and recorded), a deterministic 5% md5-bucket of
+        documents plays the eval set for decontamination, and the
+        remaining 95% flows through redact -> token/quality filters ->
+        decontaminate -> exact-dedup canonicalization -> hash splits.
+        Full per-doc decision table (keep, first-failing drop_reason,
+        split, signals) value-hash-oracled against a single composed
+        DuckDB query built from the same proven fragments."""
+        from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.corpus import (
+            _hash_bucket,
+        )
+        d = _read(spark, sf, "documents")
+        injected = F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text"))
+        eb = _hash_bucket("eval-v1", F.col("doc_id"))
+        base = (
+            d.select("doc_id", "source", injected.alias("text"),
+                     eb.alias("_eb"))
+            .filter(F.col("_eb") >= 50_000)
+            .drop("_eb")
+        )
+        evals = d.filter(eb < 50_000)
+        return corpus.curate_corpus(
+            base, evals, min_tokens=5, max_tokens=100_000,
+            min_quality=0.5, shingle_n=4,
+        )
+    q["corpus_curation"] = q_corpus_curation
 
     def q_topk_per_group(spark, sf):
         from pyspark.sql import Window
@@ -3404,6 +3446,138 @@ FROM es e LEFT JOIN d ON e.vec_id = d.vec_id
 """
 
 
+def _curation_sql(min_tokens: int = 5, max_tokens: int = 100_000,
+                  min_quality: float = 0.5) -> str:
+    """Composed curation oracle assembled from the proven fragments of
+    redact_pii / token_counts / quality_scores / decontaminate /
+    hash_split / exact-dedup canonicalization, over the same injected
+    corpus and md5-bucket eval split as q_corpus_curation.  Built by
+    token replacement (the regexes carry {n} quantifiers that f-strings
+    mangle)."""
+    tpl = r"""
+WITH b AS (
+  SELECT doc_id, source, text AS raw,
+    CASE WHEN doc_id % 5 = 0
+         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567 ssn 123-45-6789'
+         ELSE text END AS t,
+    CAST(concat('0x', substr(md5('eval-v1' || ':' || CAST(doc_id AS VARCHAR)),
+         1, 15)) AS BIGINT) % 1000000 AS eb
+  FROM documents
+), s1 AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_extract_all(coalesce(t, ''), '@EMAIL@')) AS BIGINT) AS n_emails,
+    regexp_replace(coalesce(t, ''), '@EMAIL@', '[EMAIL]', 'g') AS t
+  FROM b WHERE eb >= 50000
+), s2 AS (
+  SELECT doc_id, source, n_emails,
+    CAST(len(regexp_extract_all(t, '@PHONE@')) AS BIGINT) AS n_phones,
+    regexp_replace(t, '@PHONE@', '[PHONE]', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, source, n_emails, n_phones,
+    CAST(len(regexp_extract_all(t, '@SSN@')) AS BIGINT) AS n_ssns,
+    regexp_replace(t, '@SSN@', '[SSN]', 'g') AS t
+  FROM s2
+), r AS (
+  SELECT doc_id, source, t AS red,
+    (n_emails + n_phones + n_ssns) > 0 AS has_pii
+  FROM s3
+), tok AS (
+  SELECT doc_id,
+    CAST(CASE WHEN s = '' THEN 0
+         ELSE len(regexp_split_to_array(s, '@WS@+')) END AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id,
+          regexp_replace(red, '^@WS@+|@WS@+$', '', 'g') AS s FROM r)
+), qw AS (
+  SELECT doc_id, red AS text,
+    regexp_split_to_array(@NORM_RED@, ' ') AS words,
+    length(red) AS n_chars
+  FROM r
+), qf AS (
+  SELECT doc_id, n_chars, len(words) AS n_words,
+    len(list_filter(words, w -> list_contains(@STOPWORDS@, w))) AS n_stop,
+    n_chars - length(regexp_replace(text, '[^\w\s\x0b]', '', 'g')) AS n_punct,
+    CASE WHEN len(words) > 0
+         THEN CAST(list_reduce(list_transform(words, w -> len(w)),
+                   (a,b) -> a+b) AS DOUBLE) / len(words)
+         ELSE 0.0 END AS mean_wlen
+  FROM qw
+), qs AS (
+  SELECT doc_id,
+    least(1.0, CAST(n_words AS DOUBLE) / 100)
+      * (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.5 END)
+      * (CASE WHEN (CASE WHEN n_chars > 0
+           THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) < 0.2
+           THEN 1.0 ELSE 0.5 END)
+      * (CASE WHEN (CASE WHEN n_words > 0
+           THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0.0 END) > 0.05
+           THEN 1.0 ELSE 0.8 END) AS quality_score
+  FROM qf
+), dg AS (
+  SELECT doc_id, md5(@NORM_RED@) AS dig FROM r
+), canon AS (
+  SELECT dig, min(doc_id) AS canonical_id FROM dg GROUP BY dig
+), sp AS (
+  SELECT doc_id,
+    CASE WHEN sb < 980000 THEN 'train'
+         WHEN sb < 990000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+          CAST(concat('0x', substr(md5('split-v1' || ':' || source), 1, 15))
+               AS BIGINT) % 1000000 AS sb FROM r)
+), csh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(words) - 3 > 0
+         THEN list_transform(range(1, len(words) - 2),
+              i -> array_to_string(words[i:i+3], ' '))
+         ELSE [array_to_string(words, ' ')] END)) AS gram
+  FROM (SELECT doc_id, regexp_split_to_array(@NORM_RED@, ' ') AS words FROM r)
+), esh AS (
+  SELECT doc_id AS eval_id, unnest(list_distinct(
+    CASE WHEN len(words) - 3 > 0
+         THEN list_transform(range(1, len(words) - 2),
+              i -> array_to_string(words[i:i+3], ' '))
+         ELSE [array_to_string(words, ' ')] END)) AS gram
+  FROM (SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(coalesce(raw, '')),
+              '[\s\x0b]+', ' ', 'g')), ' ') AS words
+        FROM b WHERE eb < 50000)
+), hits AS (
+  SELECT DISTINCT csh.doc_id FROM csh JOIN esh ON csh.gram = esh.gram
+), fin AS (
+  SELECT r.doc_id, r.source, r.has_pii, tok.n_tokens, qs.quality_score,
+    sp.split, canon.canonical_id, (h.doc_id IS NOT NULL) AS contaminated,
+    CASE WHEN tok.n_tokens < @MIN_TOKENS@ THEN 'too_short'
+         WHEN tok.n_tokens > @MAX_TOKENS@ THEN 'too_long'
+         WHEN qs.quality_score < @MIN_QUALITY@ THEN 'low_quality'
+         WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+         WHEN r.doc_id <> canon.canonical_id THEN 'duplicate'
+         ELSE '' END AS drop_reason
+  FROM r
+  JOIN tok USING (doc_id) JOIN qs USING (doc_id) JOIN sp USING (doc_id)
+  JOIN dg USING (doc_id) JOIN canon ON dg.dig = canon.dig
+  LEFT JOIN hits h ON r.doc_id = h.doc_id
+)
+SELECT doc_id, source, (drop_reason = '') AS keep, drop_reason, split,
+  has_pii, contaminated, n_tokens, quality_score, canonical_id
+FROM fin
+"""
+    norm_red = ("trim(regexp_replace(lower(coalesce(red, '')), "
+                "'[\\s\\x0b]+', ' ', 'g'))")
+    return (
+        tpl
+        .replace("@EMAIL@", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        .replace("@PHONE@", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b")
+        .replace("@SSN@", r"\b\d{3}-\d{2}-\d{4}\b")
+        .replace("@WS@", r"[\s\x0b\x1c-\x1f\x85\p{Z}]")
+        .replace("@NORM_RED@", norm_red)
+        .replace("@STOPWORDS@", _STOPWORDS_SQL)
+        .replace("@MIN_TOKENS@", str(min_tokens))
+        .replace("@MAX_TOKENS@", str(max_tokens))
+        .replace("@MIN_QUALITY@", str(min_quality))
+    )
+
+
 _ENTITY_DEDUP_SQL = r"""
 WITH occ AS (
   SELECT 'conv_' || CAST(p_partkey % 50 AS VARCHAR) AS conv_id,
@@ -3901,6 +4075,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints_md5": _FINGERPRINTS_MD5_SQL,
         "ann_lsh_md5": _ann_md5_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "corpus_curation": _curation_sql(),
         "review_reasons": _REVIEW_REASONS_SQL,
         "section_spans": _SECTION_SPANS_SQL,
         "document_rollup": _DOCUMENT_ROLLUP_SQL,

@@ -188,6 +188,7 @@ def main():
         "session_window_rollup", "top_ngrams", "salient_terms",
         "containment_pairs", "dedup_spans",
         "line_boilerplate", "lm_quality", "semantic_dedup",
+        "corpus_curation",
     ]:
         df = qs[name](spark, SF_DIR)
         _materialize(df)

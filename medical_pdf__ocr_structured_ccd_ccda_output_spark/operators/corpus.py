@@ -31,13 +31,14 @@ def norm_text(col):
     )
 
 
-def word_shingles(col, n: int = 3):
-    """Distinct word n-gram strings (order-normalized via array_sort for
-    set semantics downstream).  JVM expression — exact engine-portable
-    semantics for the DuckDB-oracled ngram_jaccard; for bulk sketching
-    prefer word_shingles_udf (the transform/sequence/slice HOF chain is
-    evaluated interpreted: measured 4.5 s vs 0.4 s at sf0.1)."""
-    words = F.split(norm_text(col), " ")
+def word_shingles_from_words(words, n: int = 3):
+    """word_shingles over an already-computed words-array column.  Use
+    this form with ``words`` STAGED as a real column whenever the text
+    feeding the split is itself an expensive expression (a redaction
+    chain, a normalization pipeline): the transform lambda re-evaluates
+    any non-attribute subtree once per gram (the fingerprints()
+    evaluation trap), turning an O(n) shingle pass into O(n x cost) —
+    an attribute reference is free to re-evaluate."""
     k = F.size(words) - (n - 1)
     grams = F.when(
         k > 0,
@@ -47,6 +48,17 @@ def word_shingles(col, n: int = 3):
         ),
     ).otherwise(F.array(F.array_join(words, " ")))
     return F.array_distinct(grams)
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-gram strings (order-normalized via array_sort for
+    set semantics downstream).  JVM expression — exact engine-portable
+    semantics for the DuckDB-oracled ngram_jaccard; for bulk sketching
+    prefer word_shingles_udf (the transform/sequence/slice HOF chain is
+    evaluated interpreted: measured 4.5 s vs 0.4 s at sf0.1).  If
+    ``col`` is anything but a cheap column reference, stage the split
+    and call word_shingles_from_words instead (see its docstring)."""
+    return word_shingles_from_words(F.split(norm_text(col), " "), n)
 
 
 def word_shingles_udf(n: int = 3):
@@ -489,12 +501,13 @@ STOPWORDS = [
 ]
 
 
-def quality_scores(documents: DataFrame, round_to: int | None = 6) -> DataFrame:
-    """Length / punctuation / stopword / word-length heuristics plus a
-    composite [0,1] score.  Pure projections — fully scan-pipelined.
-    round_to=None emits raw doubles (bit-identical across engines since
-    every ratio is an int/int division in a fixed op order)."""
-    text = F.col("text")
+def quality_exprs(text) -> dict:
+    """Named quality expressions over an arbitrary text column —
+    shared by quality_scores and curate_corpus so the composed
+    pipeline's score is definitionally the standalone operator's
+    (pinned by test_curation_matches_standalone_ops).  All values are
+    int/int divisions in a fixed op order — bit-identical across
+    engines unrounded."""
     words = F.split(norm_text(text), " ")
     n_words = F.size(words)
     n_chars = F.length(text)
@@ -513,17 +526,34 @@ def quality_scores(documents: DataFrame, round_to: int | None = 6) -> DataFrame:
         * F.when(punct_ratio < 0.2, 1.0).otherwise(0.5)
         * F.when(stop_ratio > 0.05, 1.0).otherwise(0.8)
     )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "mean_word_len": mean_wlen,
+        "quality_score": score,
+    }
+
+
+def quality_scores(documents: DataFrame, round_to: int | None = 6) -> DataFrame:
+    """Length / punctuation / stopword / word-length heuristics plus a
+    composite [0,1] score.  Pure projections — fully scan-pipelined.
+    round_to=None emits raw doubles (bit-identical across engines since
+    every ratio is an int/int division in a fixed op order)."""
+    e = quality_exprs(F.col("text"))
+
     def _r(c):
         return F.round(c, round_to) if round_to is not None else c
 
     return documents.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        _r(stop_ratio).alias("stopword_ratio"),
-        _r(punct_ratio).alias("punct_ratio"),
-        _r(mean_wlen).alias("mean_word_len"),
-        _r(score).alias("quality_score"),
+        e["n_chars"].alias("n_chars"),
+        e["n_words"].alias("n_words"),
+        _r(e["stopword_ratio"]).alias("stopword_ratio"),
+        _r(e["punct_ratio"]).alias("punct_ratio"),
+        _r(e["mean_word_len"]).alias("mean_word_len"),
+        _r(e["quality_score"]).alias("quality_score"),
     )
 
 
@@ -571,10 +601,10 @@ def language_id(documents: DataFrame) -> DataFrame:
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x0b]"
 
 
-def token_counts(documents: DataFrame) -> DataFrame:
-    """Whitespace tokens (Python len(text.split()) semantics) + BPE-ish
-    regex tokens (letters / digits / single punctuation), both as plain
-    projections.
+def ws_token_expr(text):
+    """Whitespace token count with Python len(text.split()) semantics
+    over an arbitrary text column — shared by token_counts and
+    curate_corpus.
 
     The strip must cover the FULL Python whitespace set before the
     split (round-3 review fix): F.trim strips only spaces, so
@@ -583,15 +613,22 @@ def token_counts(documents: DataFrame) -> DataFrame:
     off-by-one on most real documents."""
     from ..functions.cleaning import PY_WS, strip_ws
 
-    text = F.coalesce(F.col("text"), F.lit(""))
-    stripped = strip_ws(text)
-    ws = F.when(stripped == "", F.lit(0)).otherwise(
+    t = F.coalesce(text, F.lit(""))
+    stripped = strip_ws(t)
+    return F.when(stripped == "", F.lit(0)).otherwise(
         F.size(F.split(stripped, f"{PY_WS}+"))
     )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens (Python len(text.split()) semantics) + BPE-ish
+    regex tokens (letters / digits / single punctuation), both as plain
+    projections."""
+    text = F.coalesce(F.col("text"), F.lit(""))
     bpe = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
     return documents.select(
         "doc_id",
-        ws.cast("int").alias("ws_tokens"),
+        ws_token_expr(F.col("text")).cast("int").alias("ws_tokens"),
         bpe.cast("int").alias("bpe_tokens"),
     )
 
@@ -859,13 +896,28 @@ def decontaminate(documents: DataFrame, eval_docs: DataFrame,
       word_shingles (distinct grams per doc — multiplicity is
       irrelevant to a contamination flag).
     """
+    # words staged as a real column on both sides: the shingle lambda
+    # re-evaluates non-attribute subtrees per gram, so feeding the
+    # split inline turns an expensive text expression (e.g. curate's
+    # redaction chain) into O(grams x chain) per doc — the
+    # fingerprints() evaluation trap (measured on curate_corpus:
+    # 5.3 s -> 1.5 s at sf0.1 from this staging alone)
     doc_sh = documents.select(
+        "doc_id", F.split(norm_text(F.col(text)), " ").alias("_words")
+    ).select(
         "doc_id",
-        F.explode(word_shingles(F.col(text), shingle_n)).alias("gram"),
+        F.explode_outer(
+            word_shingles_from_words(F.col("_words"), shingle_n)
+        ).alias("gram"),
     ).select("doc_id", F.md5("gram").alias("g"))
     ev_sh = eval_docs.select(
         F.col(eval_id).alias("eval_id"),
-        F.explode(word_shingles(F.col(text), shingle_n)).alias("gram"),
+        F.split(norm_text(F.col(text)), " ").alias("_words"),
+    ).select(
+        "eval_id",
+        F.explode_outer(
+            word_shingles_from_words(F.col("_words"), shingle_n)
+        ).alias("gram"),
     ).select("eval_id", F.md5("gram").alias("g")).dropDuplicates(
         ["eval_id", "g"]
     )
@@ -1008,13 +1060,7 @@ def redact_pii(documents: DataFrame, text: str = "text") -> DataFrame:
     replacement claimed (a digit run inside an email can never also be
     counted as a phone).
     """
-    red = F.coalesce(F.col(text), F.lit(""))
-    counts = []
-    for kind, pat, repl in PII_PATTERNS:
-        counts.append(
-            F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{kind}s")
-        )
-        red = F.regexp_replace(red, pat, repl)
+    red, counts, _ = redact_exprs(F.col(text))
     total = None
     for kind, _, _ in PII_PATTERNS:
         c = F.col(f"n_{kind}s")
@@ -1022,6 +1068,24 @@ def redact_pii(documents: DataFrame, text: str = "text") -> DataFrame:
     return documents.select(
         "doc_id", red.alias("text"), *counts
     ).withColumn("has_pii", total > 0)
+
+
+def redact_exprs(text):
+    """(redacted_text, per-kind count columns, has_pii) expressions
+    over an arbitrary text column — shared by redact_pii and
+    curate_corpus.  Counting-then-replacing per kind preserves the
+    span-claiming order documented in redact_pii."""
+    red = F.coalesce(text, F.lit(""))
+    counts, raw_counts = [], []
+    for kind, pat, repl in PII_PATTERNS:
+        c = F.regexp_count(red, F.lit(pat)).cast("long")
+        raw_counts.append(c)
+        counts.append(c.alias(f"n_{kind}s"))
+        red = F.regexp_replace(red, pat, repl)
+    total = raw_counts[0]
+    for c in raw_counts[1:]:
+        total = total + c
+    return red, counts, (total > 0)
 
 
 # ---------------------------------------------------------------------------
@@ -1606,4 +1670,114 @@ def bigram_lm_scores(documents: DataFrame, text: str = "text") -> DataFrame:
             F.coalesce("mean_bigram_prob", F.lit(0.0))
             .alias("mean_bigram_prob"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 17. composed corpus curation pipeline (hygiene complement of the dedup DAG)
+# ---------------------------------------------------------------------------
+
+
+def curate_corpus(documents: DataFrame, eval_docs: DataFrame | None = None,
+                  *, text: str = "text", min_tokens: int = 5,
+                  max_tokens: int = 100_000, min_quality: float = 0.5,
+                  shingle_n: int = 4, split_key: str = "source",
+                  split_salt: str = "split-v1",
+                  weights=(("train", 0.98), ("val", 0.01), ("test", 0.01)),
+                  ) -> DataFrame:
+    """One-stop corpus curation decision table — the composed hygiene
+    pipeline a pretraining corpus runs end-to-end (the Dolma /
+    RedPajama / CCNet shape): PII redaction -> length + quality
+    filters -> eval-set decontamination -> exact-dedup
+    canonicalization -> deterministic split assignment, emitting ONE
+    row per document with the keep/drop decision, the FIRST failing
+    rule, and the split.  The composed twin of ``corpus_dedup_pipeline``
+    (which composes the near-dup dedup DAG); together they cover both
+    halves of a production curation run.
+
+    Output, one row per input document: (doc_id, <split_key>, keep,
+    drop_reason, split, has_pii, contaminated, n_tokens, quality_score,
+    canonical_id).  ``drop_reason`` is the first failing rule in the
+    fixed priority order ``too_short`` -> ``too_long`` ->
+    ``low_quality`` -> ``contaminated`` -> ``duplicate`` ('' when
+    kept); PII is redacted and RECORDED, never a drop.  Every signal
+    is computed on the REDACTED text.
+
+    Invariant worth stating: all filter signals are pure functions of
+    the redacted text, so members of an exact-duplicate group are
+    indistinguishable except by doc_id — either the whole group fails
+    the same earlier rule, or exactly the canonical (min doc_id)
+    survives and the rest read ``duplicate``.  The kept set therefore
+    contains exactly one copy of every passing content group, without
+    a dedup-after-filter second pass.
+
+    Thresholds/decisions apply to UNROUNDED values (the engine-
+    portability convention of the sketch/ANN family); the emitted
+    quality_score is likewise unrounded — every factor is an int/int
+    division in a fixed op order, bit-identical across engines.
+
+    100 TB notes:
+
+    * redaction, token/quality scoring, digest, and split assignment
+      are ONE scan-pipelined projection — zero Python, zero shuffle —
+      and the TEXT never leaves it: every downstream exchange carries
+      only the narrow signal row (doc_id, key, flags, counts, digest).
+    * the canonical-id table is one groupBy on the uniform md5 digest
+      (map-side partials) joined back on the digest — the exact-dedup
+      shape, on 32-char keys, never on text.
+    * the decontamination probe is the broadcast eval-shingle join of
+      ``decontaminate`` (zero corpus shuffle); its re-derivation of
+      the redacted text is a recomputed projection over the scan (the
+      corpus-op convention: recompute beats materializing text), and
+      its hit table — small by construction — joins back to the
+      signal rows on uniform doc_id, AQE-broadcast in the normal case.
+    * reuses quality_exprs / ws_token_expr / redact_exprs /
+      deterministic ``hash_split`` / ``decontaminate`` verbatim, so
+      the composed signals are definitionally the standalone
+      operators' (pinned by test_curation_matches_standalone_ops).
+    """
+    red, _, has_pii = redact_exprs(F.col(text))
+    base = documents.select(
+        "doc_id",
+        F.col(split_key),
+        red.alias("_red"),
+        has_pii.alias("has_pii"),
+    )
+    qe = quality_exprs(F.col("_red"))
+    sig = base.select(
+        "doc_id", split_key, "has_pii",
+        ws_token_expr(F.col("_red")).cast("long").alias("n_tokens"),
+        qe["quality_score"].alias("quality_score"),
+        F.md5(norm_text(F.col("_red"))).alias("_digest"),
+    )
+    sig = hash_split(sig, key=split_key, salt=split_salt, weights=weights)
+    canon = (
+        sig.select("_digest", "doc_id")
+        .groupBy("_digest").agg(F.min("doc_id").alias("canonical_id"))
+    )
+    d = sig.join(canon, "_digest")
+    if eval_docs is not None:
+        dec = decontaminate(
+            base.select("doc_id", F.col("_red").alias("text")),
+            eval_docs, shingle_n=shingle_n,
+        ).select("doc_id", "contaminated")
+        d = d.join(dec, "doc_id", "left")
+        contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
+    else:
+        contaminated = F.lit(False)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("n_tokens") > max_tokens, "too_long")
+        .when(F.col("quality_score") < min_quality, "low_quality")
+        .when(contaminated, "contaminated")
+        .when(F.col("doc_id") != F.col("canonical_id"), "duplicate")
+        .otherwise("")
+    )
+    return d.select(
+        "doc_id", split_key,
+        (reason == "").alias("keep"),
+        reason.alias("drop_reason"),
+        "split", "has_pii",
+        contaminated.alias("contaminated"),
+        "n_tokens", "quality_score", "canonical_id",
     )
