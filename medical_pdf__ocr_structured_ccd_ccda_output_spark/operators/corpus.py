@@ -536,6 +536,69 @@ def quality_exprs(text) -> dict:
     }
 
 
+def signal_scores_udf():
+    """Arrow-batched curation signals: the SAME values as
+    ``ws_token_expr`` + ``quality_exprs``'s quality_score over the same
+    text, built with Python string ops (pytest-pinned equal,
+    tests/test_curation.py).
+
+    Exists because the two JVM expression families CONTEND when
+    evaluated in one interpreted projection at high thread counts:
+    measured at local[16] on the ×64 probe corpus, quality_score alone
+    takes 1.95 s and ws_tokens alone 0.87 s, but the combined
+    projection takes 10.7 s — and burns 3.5× the CPU cycles of the
+    same work at local[4] (which shows NO blowup: 12.9 s ≈ the sum of
+    its parts).  The contention is intra-JVM: the identical combined
+    projection on the same 16 cores as 4 separate executor JVMs
+    (local-cluster[4,4]) runs in 5.4 s.  Regex-only combinations
+    (redact+digest, 2.6 s at 16) are immune — the shared bottleneck
+    is the interpreted higher-order-function machinery.  Per-process
+    Python workers sidestep it the way a real cluster's 4-8-core
+    executors do, and the vectorized string ops are faster besides
+    (the word_shingles_udf precedent).  BENCH.md round-5 §11 carries
+    the measurements.
+
+    Returns pandas_udf: text -> struct<n_tokens:long,
+    quality_score:double>.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    # Java-\s ASCII class + space-only strip mirrors norm_text exactly
+    # (the word_shingles_udf convention); Java [^\w\s] == Python
+    # [^\w\s] under re.ASCII (both \w=[A-Za-z0-9_], \s=[ \t\n\x0b\f\r])
+    ws = _re.compile("[ \t\n\x0b\f\r]+")
+    punct = _re.compile(r"[^\w\s]", _re.ASCII)
+    stopset = frozenset(STOPWORDS)
+
+    @pandas_udf("struct<n_tokens: long, quality_score: double>")
+    def _scores(texts: pd.Series) -> pd.DataFrame:
+        toks, scores = [], []
+        for t in texts:
+            t = t or ""
+            # ws_token_expr is DEFINED as len(text.split()) semantics
+            toks.append(len(t.split()))
+            words = ws.sub(" ", t.lower()).strip(" ").split(" ")
+            n_words = len(words)           # norm '' -> [''] -> 1, as F.split
+            n_chars = len(t)
+            n_stop = sum(1 for w in words if w in stopset)
+            n_punct = n_chars - len(punct.sub("", t))
+            mean_wlen = (sum(len(w) for w in words) / n_words
+                         if n_words > 0 else 0.0)
+            stop_ratio = n_stop / n_words if n_words > 0 else 0.0
+            punct_ratio = n_punct / n_chars if n_chars > 0 else 0.0
+            scores.append(
+                min(1.0, n_words / 100)
+                * (1.0 if 3 <= mean_wlen <= 10 else 0.5)
+                * (1.0 if punct_ratio < 0.2 else 0.5)
+                * (1.0 if stop_ratio > 0.05 else 0.8)
+            )
+        return pd.DataFrame({"n_tokens": toks, "quality_score": scores})
+
+    return _scores
+
+
 def quality_scores(documents: DataFrame, round_to: int | None = 6) -> DataFrame:
     """Length / punctuation / stopword / word-length heuristics plus a
     composite [0,1] score.  Pure projections — fully scan-pipelined.
@@ -1743,12 +1806,20 @@ def curate_corpus(documents: DataFrame, eval_docs: DataFrame | None = None,
         red.alias("_red"),
         has_pii.alias("has_pii"),
     )
-    qe = quality_exprs(F.col("_red"))
+    # token + quality signals via the Arrow UDF (pytest-pinned equal to
+    # ws_token_expr/quality_exprs): evaluating both JVM families in one
+    # interpreted projection contends intra-JVM at high thread counts —
+    # see signal_scores_udf's docstring for the measurements.  The
+    # regex-only redact + digest expressions stay JVM (measured immune).
     sig = base.select(
         "doc_id", split_key, "has_pii",
-        ws_token_expr(F.col("_red")).cast("long").alias("n_tokens"),
-        qe["quality_score"].alias("quality_score"),
+        signal_scores_udf()(F.col("_red")).alias("_sc"),
         F.md5(norm_text(F.col("_red"))).alias("_digest"),
+    ).select(
+        "doc_id", split_key, "has_pii",
+        F.col("_sc.n_tokens").alias("n_tokens"),
+        F.col("_sc.quality_score").alias("quality_score"),
+        "_digest",
     )
     sig = hash_split(sig, key=split_key, salt=split_salt, weights=weights)
     canon = (

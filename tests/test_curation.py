@@ -104,6 +104,40 @@ def test_decontamination_wiring_and_reason_order(spark):
     assert not out[3]["contaminated"] and out[3]["keep"]
 
 
+def test_signal_udf_matches_jvm_exprs(spark):
+    # the Arrow signals UDF must be value-identical to the JVM
+    # expression tier on edge cases: null, empty, whitespace-padded,
+    # punct-heavy, unicode NBSP/NEL (where both sides use the ASCII
+    # \s class), long text, stopword-free, every ASCII-\s separator
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.corpus import (
+        quality_exprs,
+        signal_scores_udf,
+        ws_token_expr,
+    )
+    rows = [
+        (1, None), (2, ""), (3, "   \n\t  "), (4, "one"),
+        (5, "a b c d e f g h i j " * 30),
+        (6, "!!! ??? ... ;;; ::: @@@"),
+        (7, "the nbsp staysnel here"),
+        (8, "mixed CASE Text with the and of words"),
+        (9, "zz qq ww ee rr tt yy uu"),
+        (10, "tab\tsep\nnewline\x0bvtab\fff\rcr end"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sc = signal_scores_udf()(F.col("text"))
+    udf_out = {r["doc_id"]: r for r in d.select(
+        "doc_id", sc["n_tokens"].alias("nt"), sc["quality_score"].alias("q")
+    ).collect()}
+    jvm_out = {r["doc_id"]: r for r in d.select(
+        "doc_id",
+        ws_token_expr(F.col("text")).cast("long").alias("nt"),
+        quality_exprs(F.col("text"))["quality_score"].alias("q"),
+    ).collect()}
+    for i, _ in rows:
+        assert udf_out[i]["nt"] == jvm_out[i]["nt"], i
+        assert udf_out[i]["q"] == jvm_out[i]["q"], i
+
+
 def test_split_is_source_consistent(spark):
     d = _docs(spark, [(i, f"src{i % 4}", GOOD + f" tail {i}")
                       for i in range(40)])
