@@ -827,7 +827,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         oracle — the raw synthetic docs are single-line, so chunking
         gives the line-level stats real duplicates to find)."""
         d = _read(spark, sf, "documents")
-        words = F.split(corpus.norm_text(F.col("text")), " ")
+        # staged _words per the evaluation-trap convention (an inline
+        # split inside the chunk lambda re-evaluates per chunk)
+        staged = d.select(
+            "doc_id",
+            F.split(corpus.norm_text(F.col("text")), " ").alias("_words"),
+        )
+        words = F.col("_words")
         nlines = F.ceil(F.size(words).cast("double") / 2).cast("int")
         chunked = F.array_join(
             F.transform(
@@ -836,7 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "\n",
         )
-        return corpus.repetition_stats(d.select("doc_id", chunked.alias("text")))
+        return corpus.repetition_stats(
+            staged.select("doc_id", chunked.alias("text"))
+        )
     q["repetition_stats"] = q_repetition_stats
 
     def q_redact_pii(spark, sf):
