@@ -138,6 +138,49 @@ def test_signal_udf_matches_jvm_exprs(spark):
         assert udf_out[i]["q"] == jvm_out[i]["q"], i
 
 
+def test_signal_udf_property_parity(spark):
+    # hypothesis fuzz over the PY_WS/unicode parity surface (the
+    # test_property_parity idiom: batch per example so shrinking still
+    # isolates one string): the Arrow UDF and the JVM tier must agree
+    # on generated adversarial text, not just curated cases
+    import string
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from medical_pdf__ocr_structured_ccd_ccda_output_spark.operators.corpus import (
+        quality_exprs,
+        signal_scores_udf,
+        ws_token_expr,
+    )
+
+    raw = st.text(
+        alphabet=string.ascii_letters + string.digits + string.punctuation
+        + " \t\n\r\x0b\x0c\x1c\x85\xa0" + "éñ±",
+        max_size=60,
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(raw, min_size=12, max_size=12))
+    def check(texts):
+        d = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+        sc = signal_scores_udf()(F.col("text"))
+        u = {r["doc_id"]: r for r in d.select(
+            "doc_id", sc["n_tokens"].alias("nt"),
+            sc["quality_score"].alias("q")).collect()}
+        j = {r["doc_id"]: r for r in d.select(
+            "doc_id",
+            ws_token_expr(F.col("text")).cast("long").alias("nt"),
+            quality_exprs(F.col("text"))["quality_score"].alias("q"),
+        ).collect()}
+        for i, t in enumerate(texts):
+            assert u[i]["nt"] == j[i]["nt"], (i, repr(t))
+            assert u[i]["q"] == j[i]["q"], (i, repr(t))
+
+    check()
+
+
 def test_split_is_source_consistent(spark):
     d = _docs(spark, [(i, f"src{i % 4}", GOOD + f" tail {i}")
                       for i in range(40)])
