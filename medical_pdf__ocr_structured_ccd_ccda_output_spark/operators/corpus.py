@@ -1802,10 +1802,14 @@ def curate_corpus(documents: DataFrame, eval_docs: DataFrame | None = None,
       corpus-op convention: recompute beats materializing text), and
       its hit table — small by construction — joins back to the
       signal rows on uniform doc_id, AQE-broadcast in the normal case.
-    * reuses quality_exprs / ws_token_expr / redact_exprs /
-      deterministic ``hash_split`` / ``decontaminate`` verbatim, so
-      the composed signals are definitionally the standalone
-      operators' (pinned by test_curation_matches_standalone_ops).
+    * reuses redact_exprs / deterministic ``hash_split`` /
+      ``decontaminate`` verbatim; the token + quality signals come
+      from ONE Arrow batch (``signal_scores_udf``), pytest-pinned
+      value-identical to the standalone quality_exprs / ws_token_expr
+      tier (test_curation_matches_standalone_ops + the hypothesis
+      parity fuzz) — adopted after measuring that the two JVM
+      expression families contend intra-JVM when combined in one
+      interpreted projection (see signal_scores_udf and BENCH.md §11).
     """
     red, _, has_pii = redact_exprs(F.col(text))
     base = documents.select(
